@@ -1,0 +1,242 @@
+"""Analyzers: text -> token stream, as Catalyst expressions (JVM-side).
+
+Re-expresses the reference's analyzer registry (reference
+core/analysis/analyzers.cpp; text pipeline core/analysis/
+text_token_stream.cpp:356-421 — tokenize, case-fold, stopword-filter) as
+compositions of built-in Spark SQL functions. No per-row Python: tokenization
+is `split`/`filter`/`transform` higher-order expressions that stay inside
+whole-stage codegen.
+
+Position semantics (parity with reference token_attributes `increment`,
+core/analysis/token_attributes.hpp:50-63): a token's *position* is its index
+in the analyzer's token sequence BEFORE stop-word removal; removed stopwords
+leave gaps (Lucene/IResearch stop-filter increments the position). Document
+length (`field_stats.len`, core/index/field_meta.hpp:34-43) counts tokens
+actually emitted, i.e. AFTER stop-word removal.
+
+Analyzers are registered by name + config, mirroring the reference's
+name+JSON registry (core/analysis/analyzers.cpp REGISTER_ANALYZER_JSON).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Post-lowercase delimiter class for source code: keep [a-z0-9_] runs
+# (identifiers), split on everything else. This is the pinned "text"-analyzer
+# subset from SURVEY.md §2.A (lowercase + delimiter split + stopword filter).
+DEFAULT_DELIM_REGEX = "[^a-z0-9_]+"
+
+# Pinned stopword list: English function words + ubiquitous code keywords.
+# The reference takes stopwords from analyzer config (text_token_stream
+# options, core/analysis/text_token_stream.hpp:41-79); ours is an explicit
+# deterministic default so fixtures are reproducible.
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+)
+
+
+class Analyzer:
+    """Base analyzer: maps a string Column to an array<string> token Column.
+
+    ``raw_tokens``: full token sequence (defines positions).
+    ``keep``:       per-token predicate applied after position assignment
+                    (stop-word-style drops that leave position gaps).
+    ``tokens``:     the emitted sequence = raw_tokens filtered by keep.
+    """
+
+    name = "base"
+
+    def raw_tokens(self, col: Column) -> Column:
+        raise NotImplementedError
+
+    def keep(self, term: Column) -> Column:
+        return F.lit(True)
+
+    def tokens(self, col: Column) -> Column:
+        return F.filter(self.raw_tokens(col), lambda t: self.keep(t))
+
+
+@dataclass(frozen=True)
+class TextAnalyzer(Analyzer):
+    """`text` / `segmentation` analyzer subset: lowercase -> regex-delimiter
+    split -> stopword filter.
+
+    Reference: core/analysis/text_token_stream.cpp:356-421 (process_term:
+    case convert + stopword check), core/analysis/segmentation_token_stream.cpp
+    (word-break tokenize). ICU word-break is approximated by the delimiter
+    class; for the pinned source-code corpus the two coincide.
+    """
+
+    delim_regex: str = DEFAULT_DELIM_REGEX
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+    lowercase: bool = True
+    name: str = field(default="text", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        base = F.lower(col) if self.lowercase else col
+        return F.filter(F.split(base, self.delim_regex), lambda t: t != F.lit(""))
+
+    def keep(self, term: Column) -> Column:
+        if not self.stopwords:
+            return F.lit(True)
+        return ~term.isin(*self.stopwords)
+
+
+@dataclass(frozen=True)
+class DelimiterAnalyzer(Analyzer):
+    """`delimiter` / `multi_delimiter`: split on literal delimiter(s).
+
+    Reference: core/analysis/delimited_token_stream.cpp,
+    multi_delimited_token_stream.cpp.
+    """
+
+    delimiters: tuple[str, ...] = (",",)
+    name: str = field(default="delimiter", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        import re
+
+        cls = "|".join(re.escape(d) for d in self.delimiters)
+        return F.filter(F.split(col, f"(?:{cls})"), lambda t: t != F.lit(""))
+
+
+@dataclass(frozen=True)
+class NormAnalyzer(Analyzer):
+    """`norm`: case conversion only; whole input is a single token.
+
+    Reference: core/analysis/text_token_normalizing_stream.cpp.
+    """
+
+    lowercase: bool = True
+    name: str = field(default="norm", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        out = F.lower(col) if self.lowercase else col
+        return F.array(out)
+
+
+@dataclass(frozen=True)
+class StringAnalyzer(Analyzer):
+    """`identity` / string_token_stream: verbatim single term.
+
+    Reference: core/analysis/token_streams.hpp (string_token_stream).
+    """
+
+    name: str = field(default="identity", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        return F.array(col)
+
+
+@dataclass(frozen=True)
+class NgramAnalyzer(Analyzer):
+    """`ngram`: character n-grams in [min_n, max_n], optionally preserving
+    the original token. Position of every n-gram starting at character i is i
+    (reference emits same-position grams via increment=0 within a start
+    offset; we pin position = start offset).
+
+    Reference: core/analysis/ngram_token_stream.cpp.
+
+    Implemented with `sequence` + `transform` + `substring` (pure Catalyst).
+    """
+
+    min_n: int = 2
+    max_n: int = 3
+    preserve_original: bool = False
+    name: str = field(default="ngram", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        length = F.length(col)
+
+        def gram_fn(n: int):
+            # NB: PySpark dispatches higher-order lambdas on *arity* — a
+            # default-arg lambda (lambda i, n=n: ...) would be treated as the
+            # (element, index) form. Bind n via this closure instead.
+            return lambda i: col.substr(i, F.lit(n))
+
+        grams = None
+        for n in range(self.min_n, self.max_n + 1):
+            g = F.when(
+                length >= n,
+                F.transform(F.sequence(F.lit(1), length - n + 1), gram_fn(n)),
+            ).otherwise(F.array().cast("array<string>"))
+            grams = g if grams is None else F.concat(grams, g)
+        if self.preserve_original:
+            grams = F.concat(grams, F.array(col))
+        return grams
+
+
+@dataclass(frozen=True)
+class PipelineAnalyzer(Analyzer):
+    """`pipeline`: feed each token of stage k through stage k+1.
+
+    Reference: core/analysis/pipeline_token_stream.cpp. Flattens nested token
+    arrays stage by stage with `flatten`+`transform`.
+    """
+
+    stages: tuple[Analyzer, ...] = ()
+    name: str = field(default="pipeline", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        if not self.stages:
+            return F.array(col)
+        def apply_stage(s: Analyzer):
+            # closure factory — see NgramAnalyzer.gram_fn arity note
+            return lambda t: s.tokens(t)
+
+        out = self.stages[0].tokens(col)
+        for stage in self.stages[1:]:
+            out = F.flatten(F.transform(out, apply_stage(stage)))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Registry (name + config -> analyzer), mirroring analyzers.cpp REGISTER_*.
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, Callable[..., Analyzer]] = {
+    "text": TextAnalyzer,
+    "segmentation": TextAnalyzer,  # pinned subset coincides
+    "delimiter": DelimiterAnalyzer,
+    "multi_delimiter": DelimiterAnalyzer,
+    "norm": NormAnalyzer,
+    "identity": StringAnalyzer,
+    "ngram": NgramAnalyzer,
+    "pipeline": PipelineAnalyzer,
+}
+
+
+def register_analyzer(name: str, factory: Callable[..., Analyzer]) -> None:
+    _REGISTRY[name] = factory
+
+
+def get_analyzer(name: str, **config) -> Analyzer:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**config)
+
+
+def tokenize(
+    df,
+    text_col: str = "content",
+    doc_id_col: str = "doc_id",
+    analyzer: Analyzer | None = None,
+    with_positions: bool = True,
+):
+    """DataFrame (doc_id, text) -> (doc_id, term[, pos]).
+
+    The inversion front half (reference core/index/field_data.cpp:985-1080:
+    token stream -> positions). posexplode assigns positions over the raw
+    token sequence; the keep-predicate drop afterwards leaves stopword gaps.
+    """
+    analyzer = analyzer or TextAnalyzer()
+    raw = df.select(doc_id_col, F.posexplode(analyzer.raw_tokens(F.col(text_col))).alias("pos", "term"))
+    out = raw.where(analyzer.keep(F.col("term")))
+    if with_positions:
+        return out.select(doc_id_col, "term", "pos")
+    return out.select(doc_id_col, "term")

@@ -1,0 +1,272 @@
+"""Segment store: immutable segments + manifest generations (MVCC).
+
+Reference semantics (SURVEY.md §1.4, §3.1): an index is a metadata
+*generation* pointing at immutable segments; every commit publishes
+`segments_<gen+1>` atomically and readers pin a generation
+(core/index/index_meta.hpp:80-87, index_writer.cpp:2356-2420 two-phase
+commit). Production target is Iceberg (snapshot = generation, atomic swap =
+commit); this sandbox has no Iceberg jars, so the same contract is
+implemented as parquet segment directories + JSON manifests + an atomically
+renamed CURRENT pointer. The store API is the seam where an Iceberg catalog
+would plug in.
+
+Layout:
+    root/
+      CURRENT                      -> "manifest-<gen>.json" (atomic rename)
+      manifest-<gen>.json          {gen, segments: [...], analyzer, ...}
+      segments/<name>/postings/    parquet
+      segments/<name>/doclen/      parquet
+      segments/<name>/term_stats/  parquet
+      segments/<name>/docmap/      parquet (source identity + sha256)
+      segments/<name>/lineage/     parquet (per-partition lineage rows)
+
+Each manifest segment entry: {name, docs_count, sum_len, base_doc, bytes}
+where base_doc is the segment's global docID offset (contiguous base
+assignment exactly like merge_writer's doc_id_map base offsets,
+core/index/merge_writer.cpp:1527-1571).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iresearch_spark.analysis.analyzers import Analyzer, TextAnalyzer
+from iresearch_spark.index.build import (
+    assign_doc_ids,
+    invert,
+    pack_postings,
+    term_stats,
+)
+
+TABLES = ("postings", "doclen", "term_stats", "docmap", "lineage")
+
+
+@dataclass
+class SegmentMeta:
+    name: str
+    docs_count: int
+    sum_len: int
+    base_doc: int = 0
+    bytes: int = 0
+    created_at: float = 0.0
+
+    def to_dict(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_dict(d: dict) -> "SegmentMeta":
+        return SegmentMeta(**d)
+
+
+@dataclass
+class Manifest:
+    gen: int
+    segments: list[SegmentMeta] = field(default_factory=list)
+    analyzer: str = "text"
+
+    @property
+    def docs_count(self) -> int:
+        return sum(s.docs_count for s in self.segments)
+
+    @property
+    def sum_len(self) -> int:
+        return sum(s.sum_len for s in self.segments)
+
+    @property
+    def avg_dl(self) -> float:
+        n = self.docs_count
+        return (self.sum_len / n) if n else 0.0
+
+
+class IndexStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.join(root, "segments"), exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _manifest_path(self, gen: int) -> str:
+        return os.path.join(self.root, f"manifest-{gen}.json")
+
+    def current(self) -> Manifest:
+        cur = os.path.join(self.root, "CURRENT")
+        if not os.path.exists(cur):
+            return Manifest(gen=0)
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.root, name)) as f:
+            d = json.load(f)
+        return Manifest(
+            gen=d["gen"],
+            segments=[SegmentMeta.from_dict(s) for s in d["segments"]],
+            analyzer=d.get("analyzer", "text"),
+        )
+
+    def commit(self, manifest: Manifest) -> None:
+        """Two-phase: write manifest-<gen>, then atomically swing CURRENT
+        (reference index_writer Begin/Finish, index_writer.hpp:536-560)."""
+        # contiguous base_doc assignment in segment order; global doc =
+        # base_doc + segment-local id (locals are dense, 1-based when
+        # assigned by build_segment)
+        base = 0
+        for s in manifest.segments:
+            s.base_doc = base
+            base += s.docs_count
+        path = self._manifest_path(manifest.gen)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "gen": manifest.gen,
+                    "analyzer": manifest.analyzer,
+                    "segments": [s.to_dict() for s in manifest.segments],
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, path)
+        cur_tmp = os.path.join(self.root, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(os.path.basename(path))
+        os.replace(cur_tmp, os.path.join(self.root, "CURRENT"))
+
+    # -- segment IO ---------------------------------------------------------
+
+    def seg_path(self, seg: str, table: str) -> str:
+        return os.path.join(self.root, "segments", seg, table)
+
+    def read(self, spark: SparkSession, seg: str, table: str) -> DataFrame:
+        return spark.read.parquet(self.seg_path(seg, table))
+
+    def read_union(self, spark: SparkSession, table: str, segments=None) -> DataFrame:
+        """Union of a table across segments with a `segment` column."""
+        m = self.current()
+        segs = segments or [s.name for s in m.segments]
+        dfs = [
+            self.read(spark, s, table).withColumn("segment", F.lit(s)) for s in segs
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def dir_bytes(self, seg: str) -> int:
+        total = 0
+        base = os.path.join(self.root, "segments", seg)
+        for dirpath, _dirs, files in os.walk(base):
+            total += sum(os.path.getsize(os.path.join(dirpath, fn)) for fn in files)
+        return total
+
+
+# ---------------------------------------------------------------------------
+# Segment build (the "flush" job)
+# ---------------------------------------------------------------------------
+
+LINEAGE_PARTS = 64  # logical lineage partitioning (stable, not physical)
+
+
+def _lineage(docs: DataFrame, key_cols: list[str], text_col: str = "content") -> DataFrame:
+    """Per-logical-partition lineage rows: (part, doc_count, bytes,
+    input_hash). part = hash(key) mod LINEAGE_PARTS is *logical* so it is
+    stable across cluster sizes; input_hash is an order-free XOR of row
+    hashes — recomputable for resume verification (north rule: per-partition
+    lineage with sha256-of-inputs)."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    part = F.pmod(F.xxhash64(key), F.lit(LINEAGE_PARTS))
+    row_hash = F.xxhash64(key, F.col("content_sha256")) if "content_sha256" in docs.columns else F.xxhash64(key)
+    sz = F.sum(F.length(text_col)).alias("bytes")
+    return (
+        docs.withColumn("_part", part)
+        .withColumn("_rh", row_hash)
+        .groupBy(F.col("_part").alias("part"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            sz,
+            F.expr("bit_xor(_rh)").alias("input_hash"),  # order-free deterministic
+        )
+    )
+
+
+def build_segment(
+    spark: SparkSession,
+    store: IndexStore,
+    docs: DataFrame,
+    seg_name: str,
+    text_col: str = "content",
+    key_cols: list[str] | None = None,
+    doc_id_col: str | None = None,
+    analyzer: Analyzer | None = None,
+    with_positions: bool = True,
+    commit: bool = True,
+) -> SegmentMeta:
+    """Build one immutable segment from a document slice and (optionally)
+    commit it into the manifest. Idempotent per seg_name: rebuilding
+    overwrites the same segment directory before the manifest swap, so a
+    crash mid-build never corrupts the committed generation (resume =
+    re-run; the committed CURRENT still points at the old manifest)."""
+    analyzer = analyzer or TextAnalyzer()
+    key_cols = key_cols or ["repo", "path", "commit"]
+
+    if doc_id_col is None:
+        docs = assign_doc_ids(docs, key_cols, out_col="doc_id", start=1)
+        doc_id_col = "doc_id"
+    elif doc_id_col != "doc_id":
+        docs = docs.withColumnRenamed(doc_id_col, "doc_id")
+    docs = docs.persist()
+
+    flat, doclen = invert(docs, text_col, "doc_id", analyzer, with_positions)
+    flat = flat.persist()
+    packed = pack_postings(flat, doclen, with_positions=with_positions)
+    stats = term_stats(flat)
+
+    n_part = spark.sparkContext.defaultParallelism
+    (
+        packed.repartition(n_part, "term")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("overwrite")
+        .parquet(store.seg_path(seg_name, "postings"))
+    )
+    doclen.coalesce(max(1, n_part // 4)).write.mode("overwrite").parquet(
+        store.seg_path(seg_name, "doclen")
+    )
+    stats.repartition(max(1, n_part // 4), "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(store.seg_path(seg_name, "term_stats"))
+
+    ident_cols = [c for c in docs.columns if c in ("repo", "path", "commit", "lang", "content_sha256", "source")]
+    docs.select("doc_id", *ident_cols).write.mode("overwrite").parquet(
+        store.seg_path(seg_name, "docmap")
+    )
+    _lineage(
+        docs,
+        key_cols if all(c in docs.columns for c in key_cols) else ["doc_id"],
+        text_col,
+    ).write.mode("overwrite").parquet(store.seg_path(seg_name, "lineage"))
+
+    agg = doclen.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s")
+    ).collect()[0]
+    meta = SegmentMeta(
+        name=seg_name,
+        docs_count=int(agg["n"]),
+        sum_len=int(agg["s"]),
+        bytes=store.dir_bytes(seg_name),
+        created_at=time.time(),
+    )
+    flat.unpersist()
+    docs.unpersist()
+
+    if commit:
+        m = store.current()
+        m.segments = [s for s in m.segments if s.name != seg_name] + [meta]
+        m.gen += 1
+        m.analyzer = analyzer.name
+        store.commit(m)
+    return meta

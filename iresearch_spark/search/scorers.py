@@ -1,0 +1,152 @@
+"""Scorers: BM25 (default) and TF-IDF, float32 rank-identical kernels.
+
+Reference formulas (core/search/bm25.hpp:29-57, bm25.cpp:366-410):
+
+    idf  = ln(1 + (N - n + 0.5) / (n + 0.5))          [BM25]
+    idf  = ln(1 + (N + 1) / (n + 1))                   [TFIDF]
+    bm25 = idf * (k+1) * tf / (k * (1 - b + b*dl/avgdl) + tf)
+    tfidf= idf * sqrt(tf) [* 1/sqrt(dl) if norms]
+
+evaluated in the reference's factored form score = c0 - c0*c1/(c1 + tf) with
+c0 = boost*(k+1)*idf and c1 = k*(1-b) + (k*b/avgdl)*dl (bm25.cpp:319-364),
+all in float32 (`score_t = float`, core/utils/types.hpp:35). Rank-identity
+therefore requires float32 arithmetic in the same factored order — these
+kernels and the NumPy oracle in tests/oracle.py share that discipline.
+
+Variants (bm25.hpp:107-113): BM15 (b=0), BM11 (b=1), BM1 (k=0 -> constant).
+Score merge across boolean legs is kSum by default (scorer.hpp:224-236):
+per-leg float32 scores summed exactly (few small values -> float64 sum is
+exact and order-free), result cast back to float32.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+F32 = np.float32
+
+
+@dataclass(frozen=True)
+class FieldStats:
+    """FieldCollector output (bm25.cpp:45-60): docs with the field and the
+    total term-frequency sum — avgdl = total_len / docs_count."""
+
+    docs_count: int
+    sum_len: int
+
+    @property
+    def avg_dl(self) -> float:
+        return self.sum_len / self.docs_count if self.docs_count else 0.0
+
+
+class Scorer:
+    name = "base"
+
+    def idf(self, n_docs_with_term: int, field: FieldStats) -> float:
+        raise NotImplementedError
+
+    def prepare(self, field: FieldStats, doc_freq: int, boost: float = 1.0) -> "TermScorer":
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class BM25(Scorer):
+    k: float = 1.2
+    b: float = 0.75
+    name: str = "bm25"
+
+    def idf(self, n: int, field: FieldStats) -> float:
+        # double-precision log1p then float32 cast, like bm25.cpp:380-384
+        return float(F32(math.log1p((field.docs_count - n + 0.5) / (n + 0.5))))
+
+    def prepare(self, field: FieldStats, doc_freq: int, boost: float = 1.0) -> "TermScorer":
+        idf = self.idf(doc_freq, field)
+        c0 = F32(boost) * F32(self.k + 1) * F32(idf)
+        if self.k == 0.0:  # BM1: constant score c0 (bm25.hpp:107)
+            return ConstTermScorer(float(c0))
+        kb = F32(self.k) * F32(self.b)
+        k1b = F32(self.k) * F32(1.0 - self.b)
+        inv_avg = F32(kb) / F32(field.avg_dl) if field.avg_dl else F32(0.0)
+        return BM25TermScorer(c0=float(c0), c1_base=float(k1b), c1_slope=float(inv_avg))
+
+
+@dataclass(frozen=True)
+class TFIDF(Scorer):
+    with_norms: bool = False
+    name: str = "tfidf"
+
+    def idf(self, n: int, field: FieldStats) -> float:
+        return float(F32(math.log1p((field.docs_count + 1.0) / (n + 1.0))))
+
+    def prepare(self, field: FieldStats, doc_freq: int, boost: float = 1.0) -> "TermScorer":
+        return TFIDFTermScorer(
+            c0=float(F32(boost) * F32(self.idf(doc_freq, field))),
+            with_norms=self.with_norms,
+        )
+
+
+class TermScorer:
+    """Per-(query-term) compiled scorer: vectorized over posting arrays."""
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def max_score(self, max_tf: int, min_dl: int) -> float:
+        """Block-max upper bound (reference wand_writer MaxFreq/MinNorm pair
+        evaluated through the same formula — monotone in tf, anti-monotone
+        in dl, so (max_tf, min_dl) dominates the block)."""
+        return float(
+            self.scores(np.asarray([max_tf], np.float32), np.asarray([min_dl], np.float32))[0]
+        )
+
+
+@dataclass(frozen=True)
+class BM25TermScorer(TermScorer):
+    c0: float
+    c1_base: float
+    c1_slope: float
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float32, copy=False)
+        c1 = F32(self.c1_base) + F32(self.c1_slope) * dls.astype(np.float32, copy=False)
+        c0 = F32(self.c0)
+        return (c0 - c0 * c1 / (c1 + tf)).astype(np.float32, copy=False)
+
+
+@dataclass(frozen=True)
+class TFIDFTermScorer(TermScorer):
+    c0: float
+    with_norms: bool = False
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        out = F32(self.c0) * np.sqrt(tfs.astype(np.float32, copy=False))
+        if self.with_norms:
+            out = out / np.sqrt(dls.astype(np.float32, copy=False))
+        return out.astype(np.float32, copy=False)
+
+    def max_score(self, max_tf: int, min_dl: int) -> float:
+        return float(self.scores(np.asarray([max_tf], np.float32), np.asarray([min_dl], np.float32))[0])
+
+
+@dataclass(frozen=True)
+class ConstTermScorer(TermScorer):
+    c0: float
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        return np.full(tfs.shape, F32(self.c0), dtype=np.float32)
+
+
+_SCORERS = {
+    "bm25": lambda **kw: BM25(**kw),
+    "bm15": lambda **kw: BM25(b=0.0, **{k: v for k, v in kw.items() if k != "b"}),
+    "bm11": lambda **kw: BM25(b=1.0, **{k: v for k, v in kw.items() if k != "b"}),
+    "bm1": lambda **kw: BM25(k=0.0, **{k: v for k, v in kw.items() if k != "k"}),
+    "tfidf": lambda **kw: TFIDF(**kw),
+}
+
+
+def get_scorer(name: str, **kw) -> Scorer:
+    return _SCORERS[name](**kw)
