@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query (BM25 top-10 HighTerm over the
+documents table at sf0.001). `queries()` exposes every implemented operator
+from SURVEY.md §2 as (spark, sf_dir) callables; `oracle_sql()` carries the
+DuckDB-dialect twin of each (identical expression trees -> identical
+doubles; see iresearch_spark/plans/parity.py).
 """
 
 from __future__ import annotations
@@ -13,26 +13,41 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _register(spark: SparkSession, sf_dir: str, tables=("documents", "embeddings")) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _runner(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for the high-frequency term at sf0.001."""
+    from iresearch_spark.plans.registry import REGISTRY
+
+    return _runner(REGISTRY["term_high"]["spark"])(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from iresearch_spark.plans.registry import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, pair in REGISTRY.items():
+        out[name] = _runner(pair["spark"])
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from iresearch_spark.plans.registry import REGISTRY
+
+    return {name: pair["duck"] for name, pair in REGISTRY.items() if pair.get("duck")}

@@ -1,0 +1,251 @@
+"""Dialect-paired SQL plans: every query exists in Spark SQL and DuckDB SQL
+built from one template, for the driver's side-by-side correctness gate.
+
+These are the *relational* formulations of the engine's operators (SURVEY.md
+§2.C/§2.D): tokenize -> tf/df/doclen CTEs -> BM25 scoring expression ->
+top-k. The packed-index engine (iresearch_spark.index/search) is the
+scale path; it is validated against the float32 NumPy oracle in pytest.
+Here both sides compute IEEE-double BM25 with an identical expression tree,
+so Spark and DuckDB produce bit-identical doubles; output scores are rounded
+to 6 dp to absorb any summation-order ulp drift in multi-term queries.
+
+Dialect differences are confined to the tokenizer CTE:
+  spark:  filter(split(lower(text), re), x -> x <> '')  + LATERAL VIEW posexplode
+  duckdb: list_filter(regexp_split_to_array(...))        + unnest/generate_subscripts
+Everything downstream is shared ANSI text.
+"""
+
+from __future__ import annotations
+
+from iresearch_spark.analysis.analyzers import DEFAULT_STOPWORDS
+
+SPARK = "spark"
+DUCK = "duck"
+
+DELIM_RE = "[^a-z0-9_]+"
+STOPS_IN = "(" + ", ".join(f"'{s}'" for s in DEFAULT_STOPWORDS) + ")"
+
+K1 = 1.2
+B = 0.75
+
+
+def tok_ctes(d: str, table: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    """CTEs: tok(doc_id, pos, term) with stopword gaps; doclen; stats; tf; df.
+
+    Positions index the empty-filtered raw token sequence BEFORE the
+    stopword drop (engine/oracle pinned semantics)."""
+    if d == SPARK:
+        tokraw = (
+            f"tokraw AS (SELECT {id_col} AS doc_id, "
+            f"filter(split(lower({text}), '{DELIM_RE}'), x -> x <> '') AS toks FROM {table})"
+        )
+        tokall = (
+            "tokall AS (SELECT doc_id, pos, term FROM tokraw "
+            "LATERAL VIEW posexplode(toks) t AS pos, term)"
+        )
+    else:
+        tokraw = (
+            f"tokraw AS (SELECT {id_col} AS doc_id, "
+            f"list_filter(regexp_split_to_array(lower({text}), '{DELIM_RE}'), x -> x <> '') AS toks FROM {table})"
+        )
+        tokall = (
+            "tokall AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, "
+            "unnest(toks) AS term FROM tokraw)"
+        )
+    shared = f"""tok AS (SELECT * FROM tokall WHERE term NOT IN {STOPS_IN}),
+doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_len,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf
+       FROM tf GROUP BY term)"""
+    return f"WITH {tokraw},\n{tokall},\n{shared}"
+
+
+# BM25 over columns (tf, dl, doc_freq) with stats in scope.
+# idf = ln(1 + (N - n + 0.5)/(n + 0.5)); score = idf*(k1+1)*tf / (k1*(1-b+b*dl/avgdl) + tf)
+SCORE_EXPR = (
+    "ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) "
+    f"* ({K1 + 1.0} * tf) / ({K1} * ({1.0 - B} + {B} * dl / avgdl) + tf)"
+)
+
+IDF_EXPR = "ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))"
+
+
+def _terms_in(terms: list[str]) -> str:
+    return "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+
+
+def bm25_topk(
+    d: str,
+    terms: list[str] | None = None,
+    term_pred: str | None = None,
+    min_match: int = 1,
+    require_all: bool = False,
+    exclude_terms: list[str] | None = None,
+    k: int = 10,
+) -> str:
+    """Disjunction/conjunction/min-match BM25 top-k over exact terms or a
+    term predicate (prefix/wildcard/range/fuzzy expansion, scored per
+    matched term and kSum-merged — multiterm OR-expansion semantics)."""
+    pred = term_pred if term_pred else f"tf.term IN {_terms_in(terms)}"
+    need = f"(SELECT count(*) FROM df WHERE {pred.replace('tf.term', 'df.term')})" if require_all else str(min_match)
+    excl = ""
+    if exclude_terms:
+        excl = (
+            f" AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN {_terms_in(exclude_terms)})"
+        )
+    return f"""{tok_ctes(d)},
+hits AS (
+  SELECT tf.doc_id AS doc_id,
+         SUM({SCORE_EXPR}) AS raw_score,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  WHERE {pred}{excl}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(raw_score, 6) AS DOUBLE) AS score
+FROM hits
+WHERE n_terms >= {need}
+ORDER BY ROUND(raw_score, 6) DESC, doc_id
+LIMIT {k}"""
+
+
+def phrase_topk(d: str, terms: list[str], k: int = 10) -> str:
+    """Ordered positional phrase, BM25 over phrase frequency with
+    idf = sum of member idfs (engine/oracle pinned semantics)."""
+    joins, conds = [], []
+    for i in range(1, len(terms)):
+        joins.append(f"JOIN tok t{i} ON t0.doc_id = t{i}.doc_id AND t{i}.pos = t0.pos + {i}")
+        conds.append(f"t{i}.term = '{terms[i]}'")
+    join_sql = "\n  ".join(joins)
+    cond_sql = " AND ".join([f"t0.term = '{terms[0]}'"] + conds)
+    return f"""{tok_ctes(d)},
+ph AS (
+  SELECT t0.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS ptf
+  FROM tok t0
+  {join_sql}
+  WHERE {cond_sql}
+  GROUP BY t0.doc_id
+),
+phidf AS (
+  SELECT SUM({IDF_EXPR}) AS idf
+  FROM df CROSS JOIN stats WHERE df.term IN {_terms_in(terms)}
+),
+scored AS (
+  SELECT ph.doc_id AS doc_id,
+         phidf.idf * ({K1 + 1.0} * ptf) / ({K1} * ({1.0 - B} + {B} * dl / avgdl) + ptf) AS raw_score
+  FROM ph
+  JOIN doclen ON ph.doc_id = doclen.doc_id
+  CROSS JOIN phidf CROSS JOIN stats
+)
+SELECT doc_id, CAST(ROUND(raw_score, 6) AS DOUBLE) AS score
+FROM scored
+ORDER BY ROUND(raw_score, 6) DESC, doc_id
+LIMIT {k}"""
+
+
+def term_stats_sql(d: str, limit: int = 100) -> str:
+    return f"""{tok_ctes(d)}
+SELECT term, doc_freq, total_tf
+FROM df
+ORDER BY doc_freq DESC, term
+LIMIT {limit}"""
+
+
+def doclen_sql(d: str) -> str:
+    return f"""{tok_ctes(d)}
+SELECT doc_id, dl FROM doclen ORDER BY doc_id"""
+
+
+def field_stats_sql(d: str) -> str:
+    return f"""{tok_ctes(d)}
+SELECT n_docs, sum_len, CAST(ROUND(avgdl, 6) AS DOUBLE) AS avg_dl FROM stats"""
+
+
+def dedup_exact_sql(d: str) -> str:
+    """Exact duplicate groups by full text (hash-groupBy dedup)."""
+    h = "sha2(text, 256)" if d == SPARK else "sha256(text)"
+    return f"""SELECT {h} AS text_sha256,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY {h}
+HAVING count(*) > 1
+ORDER BY keep_doc"""
+
+
+def token_count_sql(d: str) -> str:
+    """Token counting + simple quality ratios per doc (text-analysis ops)."""
+    return f"""{tok_ctes(d)},
+raw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_raw FROM tokall GROUP BY doc_id),
+stopc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop
+          FROM tokall WHERE term IN {STOPS_IN} GROUP BY doc_id)
+SELECT r.doc_id AS doc_id,
+       r.n_raw AS n_tokens_raw,
+       COALESCE(d2.dl, 0) AS n_tokens,
+       COALESCE(s.n_stop, 0) AS n_stopwords,
+       CAST(ROUND(COALESCE(s.n_stop, 0) * 1.0 / r.n_raw, 6) AS DOUBLE) AS stopword_ratio
+FROM raw r
+LEFT JOIN doclen d2 ON r.doc_id = d2.doc_id
+LEFT JOIN stopc s ON r.doc_id = s.doc_id
+ORDER BY doc_id"""
+
+
+def langid_sql(d: str) -> str:
+    """Marker-token language ID (n-gram-heuristic stand-in): argmax of
+    marker-set hits for a fixed set of languages."""
+    markers = {
+        "en": ("the", "and", "of", "is"),
+        "code": ("def", "return", "import", "class", "static", "void"),
+        "data": ("table", "join", "query", "column", "row"),
+    }
+    cases = []
+    for lang, ms in markers.items():
+        inlist = "(" + ", ".join(f"'{m}'" for m in ms) + ")"
+        cases.append(
+            f"CAST(SUM(CASE WHEN term IN {inlist} THEN 1 ELSE 0 END) AS BIGINT) AS hits_{lang}"
+        )
+    cols = ",\n       ".join(cases)
+    return f"""{tok_ctes(d)},
+marks AS (
+  SELECT doc_id,
+       {cols}
+  FROM tokall GROUP BY doc_id
+)
+SELECT doc_id, hits_en, hits_code, hits_data,
+       CASE WHEN hits_code >= hits_data AND hits_code >= hits_en THEN 'code'
+            WHEN hits_data >= hits_en THEN 'data'
+            ELSE 'en' END AS pred_lang
+FROM marks
+ORDER BY doc_id"""
+
+
+def ngram_jaccard_pairs_sql(d: str, threshold: float = 0.6) -> str:
+    """Exact token-bigram Jaccard near-dup pairs (doc_a < doc_b).
+
+    The quadratic exact formulation for the oracle tier; the scalable path
+    is MinHash-LSH (iresearch_spark.functions.dedup)."""
+    return f"""{tok_ctes(d)},
+big AS (
+  SELECT DISTINCT t0.doc_id AS doc_id, t0.term || ' ' || t1.term AS bg
+  FROM tok t0 JOIN tok t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
+ORDER BY doc_a, doc_b"""
