@@ -18,9 +18,13 @@ TABLES = (
 ).split()
 
 
-def _register(spark: SparkSession, sf_dir: str, tables=("documents", "embeddings")) -> None:
+def _register(spark: SparkSession, sf_dir: str, tables=("documents", "embeddings", "events")) -> None:
+    import os
+
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
 
 
 def _runner(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -43,7 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, pair in REGISTRY.items():
-        out[name] = _runner(pair["spark"])
+        if "fn" in pair:
+            out[name] = pair["fn"]
+        else:
+            out[name] = _runner(pair["spark"])
     return out
 
 

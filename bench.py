@@ -1,0 +1,127 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Phases:
+  1. index-build: deterministic source-code corpus (input_hint shape,
+     IR_BENCH_DOCS docs, seed 42) -> packed segment build -> docs/sec
+     (the reference's index-put wall-clock metric).
+  2. query latency: reference-benchmark-style categories (HighTerm /
+     MedTerm / LowTerm / AndHighMed / OrHighMed / MinMatch / Phrase /
+     Prefix / Wildcard / Fuzzy) against the packed index via the
+     mapInPandas BM25 kernel (top-10, WAND where eligible).
+  3. sql-path queries over $SPARK_GRAFT_SF_DIR documents.parquet
+     (tokenize+score end-to-end, no prebuilt index).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), IR_BENCH_DOCS (default 50000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("IR_BENCH_DOCS", "50000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import (
+        And,
+        Fuzzy,
+        Or,
+        Phrase,
+        Prefix,
+        SearchEngine,
+        Term,
+        Terms,
+        Wildcard,
+    )
+    from iresearch_spark.session import get_spark
+
+    spark = get_spark("iresearch-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t_all = time.time()
+    queries: dict[str, float] = {}
+
+    # ---- phase 1: index build ------------------------------------------
+    root = tempfile.mkdtemp(prefix="irbench_")
+    store = IndexStore(root)
+    corpus = generate_corpus(spark, n_docs, seed=42).persist()
+    corpus.count()  # materialize input outside the build timing
+    t0 = time.time()
+    meta = build_segment(spark, store, corpus, "bench0")
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+    docs_per_sec = round(n_docs / build_sec, 1)
+    corpus.unpersist()
+
+    # ---- phase 2: packed-engine query latency --------------------------
+    eng = SearchEngine(spark, store)
+    stats = (
+        eng.term_stats.orderBy(F.desc("doc_freq"), F.asc("term"))
+        .select("term", "doc_freq")
+        .collect()
+    )
+    terms = [(r["term"], r["doc_freq"]) for r in stats]
+    high = terms[0][0]
+    med = next((t for t, df in terms if df <= terms[0][1] / 10), terms[len(terms) // 10][0])
+    low = next((t for t, df in terms if df <= terms[0][1] / 100), terms[len(terms) // 2][0])
+
+    cases = {
+        "HighTerm": Term(high),
+        "MedTerm": Term(med),
+        "LowTerm": Term(low),
+        "AndHighMed": And((Term(high), Term(med))),
+        "OrHighMed": Or((Term(high), Term(med))),
+        "Or4": Or((Term(high), Term(med), Term(low), Term(terms[1][0]))),
+        "MinMatch2of3": Or((Term(high), Term(med), Term(low)), min_match=2),
+        "Phrase": Phrase(("call", "x")),
+        "Prefix3": Prefix(med[:3] if len(med) >= 3 else med),
+        "Wildcard": Wildcard(f"{med[:2]}*" if len(med) >= 2 else f"{med}*"),
+        "Fuzzy1": Fuzzy(high, distance=1),
+    }
+    for name, node in cases.items():
+        t0 = time.time()
+        rows = eng.topk(node, 10).collect()
+        queries[name] = round(time.time() - t0, 3)
+        assert rows is not None
+
+    # ---- phase 3: sql-path queries over the driver testdata ------------
+    import __spark_entry__ as E
+
+    sql_qs = E.queries()
+    for name in ("term_high", "or_high_med", "phrase_low", "ngram_jaccard_pairs"):
+        t0 = time.time()
+        sql_qs[name](spark, sf_dir).collect()
+        queries[f"sql_{name}"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    out = {
+        "metric": "index-build docs/sec + BM25 top-10 latency (packed engine, local)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "bench_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+        "index_bytes": store.dir_bytes("bench0"),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

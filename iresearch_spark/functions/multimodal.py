@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as `binary` columns with a
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched `mapInPandas` stages. The decode step itself is STUBBED in
+this environment (no image/audio libraries in the container) behind
+`set_decoder(...)` — the Spark-side contract (schema, partitioning, batch
+shape, UDF signatures) is real and tested with the deterministic fake
+decoder.
+
+Schema convention:
+    payload:  binary            (the encoded media bytes)
+    media:    struct<kind:string, mime:string, width:int, height:int,
+                     n_frames:int, sample_rate:int>
+    features: array<float>      (extractor output)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+Decoder = Callable[[bytes, dict], np.ndarray]
+
+
+def _fake_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for a real image/audio decoder: derives a
+    fixed-size pseudo-pixel array from the payload bytes. Replace via
+    set_decoder() where PIL/av are available."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(16, dtype=np.float32)
+    # fold payload into 16 deterministic "feature" buckets
+    pad = (-arr.size) % 16
+    folded = np.pad(arr, (0, pad)).reshape(-1, 16).astype(np.float64)
+    return (folded.mean(axis=0) / 255.0).astype(np.float32)
+
+
+_DECODER: Decoder = _fake_decoder
+
+
+def set_decoder(fn: Decoder) -> None:
+    """Install a real decoder (e.g. PIL-based). Not available in this
+    container — raise-or-fake is the documented contract."""
+    global _DECODER
+    _DECODER = fn
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", payload_from: str = "text"
+) -> DataFrame:
+    """Attach a deterministic fake binary payload + metadata (test fixture
+    for the plumbing; payload = utf-8 bytes of an existing column)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(payload_from), "utf-8").cast(BinaryType()).alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("application/x-fake").alias("mime"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("media"),
+    )
+
+
+def extract_features(media_df: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload, media).
+
+    Real contract: one Arrow batch in -> one features row per input row;
+    decode failures yield null features rather than failing the stage
+    (at corpus scale a poison payload must not kill the job)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, feats = [], [], []
+            for row in pdf.itertuples(index=False):
+                meta = row.media if isinstance(row.media, dict) else row.media._asdict()
+                try:
+                    v = _DECODER(bytes(row.payload), meta)
+                    feats.append(np.asarray(v, dtype=np.float32))
+                except NotImplementedError:
+                    feats.append(None)
+                ids.append(row.doc_id)
+                kinds.append(meta.get("kind"))
+            yield pd.DataFrame({"doc_id": ids, "kind": kinds, "features": feats})
+
+    return media_df.mapInPandas(kernel, FEATURE_SCHEMA)

@@ -1,0 +1,118 @@
+"""Embedding similarity search over array<float> columns.
+
+- cosine_topk:            exact brute-force scan (baseline; fully
+                          distributed scan + TakeOrderedAndProject)
+- hyperplane_lsh_buckets: random-hyperplane sign buckets (deterministic
+                          seeded planes) — the scale path: queries probe
+                          only their bucket (and optional neighbor probes)
+- lsh_cosine_topk:        bucket-probed approximate top-k
+
+All arithmetic is Catalyst (`zip_with`/`aggregate`); no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _f64(vec_col: Column) -> Column:
+    # widen float32 embeddings before multiplying (float64 accumulation
+    # matches a NumPy float64 oracle and avoids precision loss)
+    return F.transform(vec_col, lambda v: v.cast("double"))
+
+
+def _dot_lit(vec_col: Column, q: list[float]) -> Column:
+    ql = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(_f64(vec_col), ql, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_f64(vec_col), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: (id, cosine) ordered desc, id asc tie-break."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    cos = _dot_lit(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        df.select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds a `bucket` column: sign bits against n_planes seeded random
+    hyperplanes packed into a long. Cosine-similar vectors collide with
+    probability (1 - theta/pi)^n_planes."""
+    planes = _planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = (_dot_lit(F.col(vec_col), p) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn("bucket", bucket)
+
+
+def query_bucket(query: list[float], dim: int, n_planes: int = 12, seed: int = 42) -> int:
+    planes = _planes(dim, n_planes, seed)
+    b = 0
+    for i, p in enumerate(planes):
+        dot = sum(float(x) * float(y) for x, y in zip(query, p))
+        if dot > 0:
+            b |= 1 << i
+    return b
+
+
+def lsh_cosine_topk(
+    bucketed: DataFrame,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    `multiprobe_bits` hamming distance (multi-probe LSH), then exact
+    cosine inside the candidate set. `bucketed` must come from
+    hyperplane_lsh_buckets with the same (dim, n_planes, seed)."""
+    qb = query_bucket(query, dim, n_planes, seed)
+    probes = {qb}
+    if multiprobe_bits >= 1:
+        for i in range(n_planes):
+            probes.add(qb ^ (1 << i))
+    if multiprobe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qb ^ (1 << i) ^ (1 << j))
+    cand = bucketed.where(F.col("bucket").isin(*sorted(probes)))
+    return cosine_topk(cand, query, k, vec_col, id_col)

@@ -138,7 +138,9 @@ def invert(
         )
     else:
         flat = toks.groupBy(doc_id_col, "term").agg(F.count("*").cast("int").alias("tf"))
-    doclen = toks.groupBy(doc_id_col).agg(F.count("*").cast("int").alias("len"))
+    # dl = sum(tf) per doc == emitted-token count; derived from `flat` (which
+    # callers persist) instead of re-tokenizing the corpus
+    doclen = flat.groupBy(doc_id_col).agg(F.sum("tf").cast("int").alias("len"))
     return flat, doclen
 
 

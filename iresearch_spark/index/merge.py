@@ -1,0 +1,265 @@
+"""Segment consolidation: tiered candidate selection + k-way merge with
+docID remapping.
+
+Reference semantics (SURVEY.md §3.3): MergeWriter computes a per-reader
+docID map — contiguous base offsets when no documents are masked, else a
+dense renumbering of live docs (core/index/merge_writer.cpp:1449-1571) —
+then re-emits postings through the normal format writer with remapped ids.
+The Spark restatement: the doc map IS a DataFrame join; re-emission IS
+re-running the pack pipeline over the remapped flat postings. The merged
+segment replaces its members in one atomic manifest generation
+(core/index/index_writer.cpp:1340-1650 consolidation commit reconciliation).
+
+The tier policy re-expresses the reference's skew-scored tiered selection
+(core/index/index_utils.cpp tier scoring: prefer merging many
+similar-sized segments, floor tiny segments to a minimum effective size)
+without copying its code: segments are bucketed by size tier and the
+bucket with the most mergeable members wins.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iresearch_spark.index.build import pack_postings, term_stats
+from iresearch_spark.index.codec import unpack_positions, varint_decode, delta_decode
+from iresearch_spark.index.segments import IndexStore, Manifest, SegmentMeta
+
+FLAT_SCHEMA = StructType(
+    [
+        StructField("segment", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("term", StringType()),
+        StructField("tf", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _unpack_kernel(with_positions: bool):
+    """Packed block rows -> flat (segment, doc_id, term, tf, positions)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"segment": [], "doc_id": [], "term": [], "tf": [], "positions": []}
+            for row in pdf.itertuples(index=False):
+                docs = delta_decode(varint_decode(row.docs_bin)).astype(np.int64)
+                tfs = varint_decode(row.tfs_bin).astype(np.int64)
+                poss = (
+                    unpack_positions(row.pos_bin, tfs)
+                    if with_positions
+                    else [None] * len(docs)
+                )
+                n = len(docs)
+                out["segment"].extend([row.segment] * n)
+                out["doc_id"].extend(docs.tolist())
+                out["term"].extend([row.term] * n)
+                out["tf"].extend(tfs.tolist())
+                out["positions"].extend(
+                    [p.astype(np.int32).tolist() if p is not None else None for p in poss]
+                )
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return kernel
+
+
+def unpack_postings(blocks: DataFrame, with_positions: bool) -> DataFrame:
+    return blocks.mapInPandas(_unpack_kernel(with_positions), FLAT_SCHEMA)
+
+
+def build_doc_map(
+    spark: SparkSession,
+    store: IndexStore,
+    seg_names: list[str],
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """(segment, doc_id) -> new_doc.
+
+    No tombstones: contiguous base offsets in member order (merge_writer
+    base-id assignment). With tombstones: dense renumbering of live docs in
+    (member order, old id) order via partition-local window — every group
+    is one segment, so the window never sees more than one segment's rows.
+    """
+    order = {s: i for i, s in enumerate(seg_names)}
+    doclen = store.read_union(spark, "doclen", seg_names)
+    docs = doclen.select("segment", "doc_id")
+    if tombstones is not None:
+        docs = docs.join(tombstones, ["segment", "doc_id"], "left_anti")
+        # dense renumber: count live per segment -> driver prefix sums
+        counts = {
+            r["segment"]: r["cnt"]
+            for r in docs.groupBy("segment").agg(F.count("*").alias("cnt")).collect()
+        }
+        base, acc = {}, 1
+        for s in seg_names:
+            base[s] = acc
+            acc += counts.get(s, 0)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("segment").orderBy("doc_id")
+        base_map = F.create_map(*[F.lit(x) for s in seg_names for x in (s, base[s])])
+        return docs.withColumn(
+            "new_doc", F.row_number().over(w) - 1 + base_map[F.col("segment")]
+        )
+    counts = {
+        r["segment"]: r["cnt"]
+        for r in docs.groupBy("segment").agg(F.count("*").alias("cnt")).collect()
+    }
+    base, acc = {}, 0
+    for s in seg_names:
+        base[s] = acc
+        acc += counts.get(s, 0)
+    base_map = F.create_map(*[F.lit(x) for s in seg_names for x in (s, base[s])])
+    return docs.withColumn("new_doc", F.col("doc_id") + base_map[F.col("segment")])
+
+
+def merge_segments(
+    spark: SparkSession,
+    store: IndexStore,
+    seg_names: list[str],
+    new_name: str,
+    tombstones: DataFrame | None = None,
+    commit: bool = True,
+) -> SegmentMeta:
+    """K-way merge of member segments into one new segment."""
+    import time as _time
+
+    manifest = store.current()
+    by_name = {s.name: s for s in manifest.segments}
+    assert all(s in by_name for s in seg_names), "unknown segment in merge set"
+    seg_names = sorted(seg_names, key=lambda s: manifest.segments.index(by_name[s]))
+
+    blocks = store.read_union(spark, "postings", seg_names)
+    with_positions = "pos_bin" in blocks.columns
+    doc_map = build_doc_map(spark, store, seg_names, tombstones).persist()
+
+    flat = (
+        unpack_postings(blocks, with_positions)
+        .join(doc_map, ["segment", "doc_id"])
+        .select(
+            F.col("new_doc").alias("doc_id"),
+            "term",
+            "tf",
+            *(["positions"] if with_positions else []),
+        )
+        .persist()
+    )
+    doclen = flat.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("len"))
+    packed = pack_postings(flat, doclen, with_positions=with_positions)
+    stats = term_stats(flat)
+
+    n_part = spark.sparkContext.defaultParallelism
+    (
+        packed.repartition(n_part, "term")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("overwrite")
+        .parquet(store.seg_path(new_name, "postings"))
+    )
+    doclen.coalesce(max(1, n_part // 4)).write.mode("overwrite").parquet(
+        store.seg_path(new_name, "doclen")
+    )
+    stats.repartition(max(1, n_part // 4), "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(store.seg_path(new_name, "term_stats"))
+
+    # docmap: source identity follows the docID remap
+    docmaps = store.read_union(spark, "docmap", seg_names)
+    docmaps.join(doc_map, ["segment", "doc_id"]).drop("doc_id", "segment").withColumnRenamed(
+        "new_doc", "doc_id"
+    ).write.mode("overwrite").parquet(store.seg_path(new_name, "docmap"))
+    # lineage: XOR-combine member partitions (XOR of XORs is the union hash)
+    store.read_union(spark, "lineage", seg_names).groupBy("part").agg(
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("bytes").alias("bytes"),
+        F.expr("bit_xor(input_hash)").alias("input_hash"),
+    ).write.mode("overwrite").parquet(store.seg_path(new_name, "lineage"))
+
+    agg = doclen.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s")
+    ).collect()[0]
+    meta = SegmentMeta(
+        name=new_name,
+        docs_count=int(agg["n"]),
+        sum_len=int(agg["s"]),
+        bytes=store.dir_bytes(new_name),
+        created_at=_time.time(),
+    )
+    flat.unpersist()
+    doc_map.unpersist()
+
+    if commit:
+        m = store.current()
+        kept = [s for s in m.segments if s.name not in seg_names and s.name != new_name]
+        m.segments = kept + [meta]
+        m.gen += 1
+        store.commit(m)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# Tiered consolidation policy
+# ---------------------------------------------------------------------------
+
+def tier_candidates(
+    manifest: Manifest,
+    min_segments: int = 2,
+    max_segments: int = 10,
+    floor_bytes: int = 2 << 20,
+    max_merge_bytes: int = 5 << 30,
+) -> list[str]:
+    """Pick one merge candidate set (or [] if nothing worth merging).
+
+    Tiered selection in the spirit of the reference's tier policy
+    (index_utils.cpp): bucket segments by log2 of their floored byte size
+    (tiny segments share the floor bucket), and choose the bucket with the
+    most members — merging many similar-sized segments maximizes
+    write-amplification payoff. Respects max_segments / max_merge_bytes.
+    """
+    if len(manifest.segments) < min_segments:
+        return []
+    buckets: dict[int, list[SegmentMeta]] = {}
+    for s in manifest.segments:
+        tier = int(math.log2(max(s.bytes, floor_bytes)))
+        buckets.setdefault(tier, []).append(s)
+    best: list[SegmentMeta] = []
+    for tier, segs in sorted(buckets.items()):
+        if len(segs) >= min_segments and len(segs) > len(best):
+            best = segs
+    if not best:
+        return []
+    best = sorted(best, key=lambda s: s.bytes)[:max_segments]
+    total = 0
+    out = []
+    for s in best:
+        if total + s.bytes > max_merge_bytes and out:
+            break
+        out.append(s.name)
+        total += s.bytes
+    return out if len(out) >= min_segments else []
+
+
+def consolidate(
+    spark: SparkSession, store: IndexStore, new_name: str | None = None, **policy_kw
+) -> SegmentMeta | None:
+    """One consolidation round: policy -> merge -> commit."""
+    m = store.current()
+    cands = tier_candidates(m, **policy_kw)
+    if not cands:
+        return None
+    name = new_name or f"merged_{m.gen + 1}"
+    return merge_segments(spark, store, cands, name)

@@ -270,3 +270,61 @@ def build_segment(
         m.analyzer = analyzer.name
         store.commit(m)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Resume / verification helpers (north rule: resumable from checkpoint with
+# per-partition lineage; per-row content-sha256 invariant vs the source)
+# ---------------------------------------------------------------------------
+
+def verify_lineage(
+    spark: SparkSession,
+    store: IndexStore,
+    seg_name: str,
+    source_docs: DataFrame,
+    key_cols: list[str] | None = None,
+    text_col: str = "content",
+) -> bool:
+    """Recompute the per-partition lineage of `source_docs` and compare to
+    the lineage rows committed with the segment. Equality proves the
+    committed segment was built from exactly this input (doc counts, byte
+    sizes, and order-free row hashes all match per logical partition)."""
+    key_cols = key_cols or ["repo", "path", "commit"]
+    if not all(c in source_docs.columns for c in key_cols):
+        key_cols = ["doc_id"]
+    expected = {
+        (r["part"]): (r["doc_count"], r["bytes"], r["input_hash"])
+        for r in _lineage(source_docs, key_cols, text_col).collect()
+    }
+    got = {
+        (r["part"]): (r["doc_count"], r["bytes"], r["input_hash"])
+        for r in store.read(spark, seg_name, "lineage").collect()
+    }
+    return expected == got
+
+
+def verify_sha_invariant(
+    spark: SparkSession,
+    store: IndexStore,
+    seg_name: str,
+    source_docs: DataFrame,
+    key_cols: list[str] | None = None,
+    text_col: str = "content",
+) -> int:
+    """Per-row invariant: every docmap row's content_sha256 must equal
+    sha256(source content) for the same (key) row. Returns the number of
+    violating rows (0 = invariant holds)."""
+    key_cols = key_cols or ["repo", "path", "commit"]
+    if not all(c in source_docs.columns for c in key_cols):
+        key_cols = ["doc_id"]
+    docmap = store.read(spark, seg_name, "docmap")
+    if "content_sha256" not in docmap.columns:
+        raise ValueError("segment docmap has no content_sha256 column")
+    src = source_docs.select(
+        *key_cols, F.sha2(F.col(text_col), 256).alias("_expected_sha")
+    )
+    joined = docmap.join(src, key_cols, "left")
+    return joined.where(
+        F.col("_expected_sha").isNull()
+        | (F.col("_expected_sha") != F.col("content_sha256"))
+    ).count()

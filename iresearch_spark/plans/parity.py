@@ -67,11 +67,11 @@ df AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(tf) AS BIGINT
 # BM25 over columns (tf, dl, doc_freq) with stats in scope.
 # idf = ln(1 + (N - n + 0.5)/(n + 0.5)); score = idf*(k1+1)*tf / (k1*(1-b+b*dl/avgdl) + tf)
 SCORE_EXPR = (
-    "ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) "
-    f"* ({K1 + 1.0} * tf) / ({K1} * ({1.0 - B} + {B} * dl / avgdl) + tf)"
+    "ln(1 + (n_docs - doc_freq + 0.5e0) / (doc_freq + 0.5e0)) "
+    f"* ({K1 + 1.0}e0 * tf) / ({K1}e0 * ({1.0 - B}e0 + {B}e0 * dl / avgdl) + tf)"
 )
 
-IDF_EXPR = "ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))"
+IDF_EXPR = "ln(1 + (n_docs - doc_freq + 0.5e0) / (doc_freq + 0.5e0))"
 
 
 def _terms_in(terms: list[str]) -> str:
@@ -109,10 +109,10 @@ hits AS (
   WHERE {pred}{excl}
   GROUP BY tf.doc_id
 )
-SELECT doc_id, CAST(ROUND(raw_score, 6) AS DOUBLE) AS score
+SELECT doc_id, CAST(floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
 FROM hits
 WHERE n_terms >= {need}
-ORDER BY ROUND(raw_score, 6) DESC, doc_id
+ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
 LIMIT {k}"""
 
 
@@ -139,14 +139,14 @@ phidf AS (
 ),
 scored AS (
   SELECT ph.doc_id AS doc_id,
-         phidf.idf * ({K1 + 1.0} * ptf) / ({K1} * ({1.0 - B} + {B} * dl / avgdl) + ptf) AS raw_score
+         phidf.idf * ({K1 + 1.0}e0 * ptf) / ({K1}e0 * ({1.0 - B}e0 + {B}e0 * dl / avgdl) + ptf) AS raw_score
   FROM ph
   JOIN doclen ON ph.doc_id = doclen.doc_id
   CROSS JOIN phidf CROSS JOIN stats
 )
-SELECT doc_id, CAST(ROUND(raw_score, 6) AS DOUBLE) AS score
+SELECT doc_id, CAST(floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
 FROM scored
-ORDER BY ROUND(raw_score, 6) DESC, doc_id
+ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
 LIMIT {k}"""
 
 
@@ -165,7 +165,7 @@ SELECT doc_id, dl FROM doclen ORDER BY doc_id"""
 
 def field_stats_sql(d: str) -> str:
     return f"""{tok_ctes(d)}
-SELECT n_docs, sum_len, CAST(ROUND(avgdl, 6) AS DOUBLE) AS avg_dl FROM stats"""
+SELECT n_docs, sum_len, CAST(floor((avgdl) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS avg_dl FROM stats"""
 
 
 def dedup_exact_sql(d: str) -> str:
@@ -190,7 +190,7 @@ SELECT r.doc_id AS doc_id,
        r.n_raw AS n_tokens_raw,
        COALESCE(d2.dl, 0) AS n_tokens,
        COALESCE(s.n_stop, 0) AS n_stopwords,
-       CAST(ROUND(COALESCE(s.n_stop, 0) * 1.0 / r.n_raw, 6) AS DOUBLE) AS stopword_ratio
+       CAST(floor((COALESCE(s.n_stop, 0) * 1e0 / r.n_raw) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS stopword_ratio
 FROM raw r
 LEFT JOIN doclen d2 ON r.doc_id = d2.doc_id
 LEFT JOIN stopc s ON r.doc_id = s.doc_id
@@ -243,9 +243,117 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       CAST(ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS DOUBLE) AS jaccard
+       CAST(floor((i * 1e0 / (sa.n + sb.n - i)) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS jaccard
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
-WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
+WHERE i * 1e0 / (sa.n + sb.n - i) >= {threshold}e0
 ORDER BY doc_a, doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Extended parity queries
+# ---------------------------------------------------------------------------
+
+POLY_MOD = 1_000_000_007
+
+def _char_hash(d: str, col: str) -> str:
+    """Shared polynomial char hash: fold (h*31 + ascii(c)) mod 1e9+7."""
+    if d == SPARK:
+        return (
+            f"aggregate(filter(split({col}, ''), x -> x <> ''), 0L, "
+            f"(h, c) -> pmod(h*31 + ascii(c), {POLY_MOD}))"
+        )
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"[ascii(c)::BIGINT for c in regexp_split_to_array({col}, '')]), "
+        f"(h, c) -> (h*31 + c) % {POLY_MOD})"
+    )
+
+
+def fingerprint_sql(d: str) -> str:
+    """Order-sensitive rolling-hash doc fingerprint over the post-stopword
+    token sequence (document fingerprinting op)."""
+    th = _char_hash(d, "term")
+    return f"""{tok_ctes(d)},
+hashed AS (SELECT doc_id, pos, {th} AS th FROM tok)
+SELECT doc_id,
+       CAST(SUM((pos + 1) * th) % {POLY_MOD} AS BIGINT) AS fingerprint
+FROM hashed
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
+def embedding_topk_sql(d: str, query_vec_id: int = 0, k: int = 10) -> str:
+    """Exact cosine top-k against the embedding of `query_vec_id`
+    (brute-force ANN baseline). float32 values widened to double."""
+    if d == SPARK:
+        un = (
+            "SELECT vec_id, pos AS i, CAST(v AS DOUBLE) AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+        )
+    else:
+        un = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+        )
+    return f"""WITH e AS ({un}),
+q AS (SELECT i, v AS qv FROM e WHERE vec_id = {query_vec_id}),
+norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT e.vec_id AS vec_id, SUM(e.v * q.qv) AS dot
+  FROM e JOIN q ON e.i = q.i
+  GROUP BY e.vec_id
+)
+SELECT d2.vec_id AS vec_id,
+       CAST(floor((d2.dot / (n1.nrm * (SELECT nrm FROM norms WHERE vec_id = {query_vec_id}))) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS cosine
+FROM dots d2 JOIN norms n1 ON d2.vec_id = n1.vec_id
+ORDER BY floor((d2.dot / (n1.nrm * (SELECT nrm FROM norms WHERE vec_id = {query_vec_id}))) * 1000000e0 + 0.5e0) / 1000000e0 DESC, d2.vec_id
+LIMIT {k}"""
+
+
+def event_window_sql(d: str) -> str:
+    """Hourly windowed event aggregation (batch form of the watermarked
+    streaming aggregation in iresearch_spark.streaming)."""
+    trunc = "date_trunc('hour', ts)"
+    return f"""SELECT {trunc} AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor((SUM(value)) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS sum_value
+FROM events
+GROUP BY {trunc}, event_type
+ORDER BY win_start, event_type"""
+
+
+def quality_sql(d: str) -> str:
+    """Per-doc quality features (mirrors functions/textstats.quality_stats
+    formulas; raw = pre-stopword tokens)."""
+    rr = (
+        "regexp_replace(lower(text), '[^a-z0-9]', '')"
+        if d == SPARK
+        else "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+    )
+    return f"""{tok_ctes(d)},
+traw AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_unique,
+         AVG(length(term)) AS mean_len
+  FROM tokall GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, length(text) AS n_chars, length({rr}) AS n_alnum
+  FROM documents
+)
+SELECT t.doc_id AS doc_id,
+       t.n_tokens AS n_tokens,
+       t.n_unique AS n_unique,
+       CAST(floor((t.mean_len) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS mean_token_len,
+       CAST(floor((b.n_alnum * 1e0 / b.n_chars) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS alnum_ratio,
+       CAST(floor((
+         LEAST(t.n_tokens / 20e0, 1e0)
+         * (CASE WHEN t.mean_len >= 2e0 AND t.mean_len <= 12e0 THEN 1e0 ELSE 0.5e0 END)
+         * LEAST(t.n_unique * 2e0 / t.n_tokens, 1e0)
+         * (b.n_alnum * 1e0 / b.n_chars)) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS quality
+FROM traw t JOIN base b ON t.doc_id = b.doc_id
+ORDER BY doc_id"""

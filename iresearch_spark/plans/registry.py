@@ -53,6 +53,40 @@ def build_registry() -> dict[str, dict[str, str]]:
     r["token_quality"] = _pair(P.token_count_sql)
     r["langid"] = _pair(P.langid_sql)
     r["ngram_jaccard_pairs"] = _pair(P.ngram_jaccard_pairs_sql)
+    r["fingerprint"] = _pair(P.fingerprint_sql)
+    r["quality_stats"] = _pair(P.quality_sql)
+    # --- embeddings / similarity search ---
+    r["embedding_topk"] = _pair(P.embedding_topk_sql)
+    # --- streaming (batch form of the watermarked windowed agg) ---
+    r["event_window_stats"] = _pair(P.event_window_sql)
+
+    # --- engine-backed entries (DataFrame ops; rows-only driver check:
+    # genuinely non-SQL-expressible — LSH banding and hyperplane probing
+    # use seeded RNG streams DuckDB cannot replicate) ---
+    def _minhash(spark, sf_dir):
+        from iresearch_spark.functions import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(docs, shingle=2, threshold=0.5)
+
+    def _simhash(spark, sf_dir):
+        from iresearch_spark.functions import simhash
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash(docs)
+
+    def _lsh_ann(spark, sf_dir):
+        from iresearch_spark.functions import hyperplane_lsh_buckets, lsh_cosine_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id = 0").collect()[0]["embedding"]
+        dim = len(q)
+        bucketed = hyperplane_lsh_buckets(emb, dim, n_planes=8)
+        return lsh_cosine_topk(bucketed, list(q), dim, 10, n_planes=8, multiprobe_bits=2)
+
+    r["minhash_lsh_pairs"] = {"fn": _minhash, "duck": None}
+    r["simhash_sketch"] = {"fn": _simhash, "duck": None}
+    r["ann_lsh_topk"] = {"fn": _lsh_ann, "duck": None}
     return r
 
 

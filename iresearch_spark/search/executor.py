@@ -170,11 +170,13 @@ class SearchEngine:
         self.seg_base = {s.name: s.base_doc for s in self.manifest.segments}
         self.postings = store.read_union(spark, "postings")
         self.has_positions = "pos_bin" in self.postings.columns
-        # index-wide term stats (reference prepare() walks all segments)
+        # index-wide term stats (reference prepare() walks all segments);
+        # cached — this is the term dictionary, hit by every query's prepare
         self.term_stats = (
             store.read_union(spark, "term_stats")
             .groupBy("term")
             .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
+            .persist()
         )
         self._doclen = store.read_union(spark, "doclen")
 
@@ -185,6 +187,11 @@ class SearchEngine:
         return self._doclen.select(
             (F.col("doc_id") + base_map[F.col("segment")]).alias("gdoc")
         )
+
+    def _stats_for(self, terms: list[str]) -> dict[str, int]:
+        """Batched doc_freq lookup: one driver roundtrip for many terms."""
+        rows = self.term_stats.where(F.col("term").isin(*terms)).collect()
+        return {r["term"]: r["doc_freq"] for r in rows}
 
     def _collect_expansion(self, df: DataFrame, limit: int) -> list[tuple[str, int]]:
         rows = (
@@ -352,6 +359,30 @@ class SearchEngine:
                 excl = self._eval(n.child, 1.0)
                 out = out.join(excl.select("gdoc"), "gdoc", "left_anti")
             return out
+        if isinstance(node, (And, Or)) and all(
+            isinstance(c, Term) for c in node.children
+        ) and len({c.term for c in node.children}) == len(node.children):
+            # flat boolean of distinct exact terms: ONE block scan for all
+            # legs instead of a job per leg (cost-ordered conjunction /
+            # disjunction specialization collapse into a single shuffle)
+            stats = self._stats_for([c.term for c in node.children])
+            scorers = {
+                c.term: self.scorer.prepare(
+                    self.field, stats[c.term], boost * node.boost * c.boost
+                )
+                for c in node.children
+                if c.term in stats
+            }
+            need = len(node.children) if isinstance(node, And) else node.min_match
+            if len(scorers) < (len(node.children) if isinstance(node, And) else 1):
+                return self._empty_hits()
+            agg = self._scan_scores(scorers).groupBy("gdoc").agg(
+                F.sum("score").alias("_s"), F.count("*").alias("_n")
+            )
+            agg = agg.where(F.col("_n") >= need)
+            const = node.const_boost if isinstance(node, And) else 0.0
+            score = (F.col("_s") + F.lit(float(np.float32(const * boost)))) if const else F.col("_s")
+            return agg.select("gdoc", score.cast("float").alias("score"))
         if isinstance(node, (And, Or)):
             poss = list(node.children)
             legs = [self._eval(c, boost * node.boost).withColumn("_leg", F.lit(i)) for i, c in enumerate(poss)]

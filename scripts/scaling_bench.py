@@ -1,0 +1,141 @@
+"""Scaling-efficiency evidence (north rule: throughput scaling efficiency
+>= 0.8 between N and 4N executors, evidenced in this sandbox as the same
+job at two parallelism levels on identical input).
+
+Single-run mode (invoked as a subprocess so each measurement gets a fresh
+JVM with its own local[N] master):
+    python scripts/scaling_bench.py --cores N --docs M --queries K
+
+Wrapper mode (default): runs N and 4N, computes efficiency, writes
+BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_measurement(cores: int, docs: int, n_queries: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import And, Or, SearchEngine, Term
+    from iresearch_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix=f"scale{cores}_")
+    store = IndexStore(root)
+
+    corpus = generate_corpus(spark, docs, seed=42).persist()
+    corpus.count()
+    t0 = time.time()
+    build_segment(spark, store, corpus, "s0")
+    build_sec = time.time() - t0
+    corpus.unpersist()
+
+    eng = SearchEngine(spark, store)
+    terms = [
+        r["term"]
+        for r in eng.term_stats.orderBy(F.desc("doc_freq"), F.asc("term")).limit(20).collect()
+    ]
+    t0 = time.time()
+    for i in range(n_queries):
+        a, b = terms[i % len(terms)], terms[(i + 7) % len(terms)]
+        node = Term(a) if i % 3 == 0 else (And((Term(a), Term(b))) if i % 3 == 1 else Or((Term(a), Term(b))))
+        eng.topk(node, 10).collect()
+    query_sec = time.time() - t0
+
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "cores": cores,
+        "docs": docs,
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(docs / build_sec, 1),
+        "n_queries": n_queries,
+        "query_sec": round(query_sec, 3),
+        "queries_per_sec": round(n_queries / query_sec, 2),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=0, help="single-run mode")
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("IR_SCALE_DOCS", "120000")))
+    ap.add_argument("--queries", type=int, default=12)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.cores:
+        print(json.dumps(run_measurement(args.cores, args.docs, args.queries)))
+        return 0
+
+    results = {}
+    for cores in (args.lo, args.hi):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs), "--queries", str(args.queries)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+
+    lo, hi = results[args.lo], results[args.hi]
+    ratio = args.hi / args.lo
+    build_speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    build_eff = build_speedup / ratio
+    query_speedup = hi["queries_per_sec"] / lo["queries_per_sec"]
+    query_eff = query_speedup / ratio
+    summary = {
+        "lo": lo,
+        "hi": hi,
+        "build_speedup": round(build_speedup, 3),
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_speedup": round(query_speedup, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+    }
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured numbers (this engine)
+
+## Scaling efficiency (north rule: >=0.8 from N to 4N)
+
+Same job, same input ({args.docs} synthetic source-code docs, seed 42),
+two parallelism levels on one host (local[{args.lo}] vs local[{args.hi}] —
+the sandbox stand-in for N vs 4N executors).
+
+| metric | local[{args.lo}] | local[{args.hi}] | speedup | efficiency |
+|---|---|---|---|---|
+| index build (docs/sec) | {lo['docs_per_sec']} | {hi['docs_per_sec']} | {build_speedup:.2f}x | **{build_eff:.2f}** |
+| BM25 top-10 ({args.queries} queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | {query_speedup:.2f}x | **{query_eff:.2f}** |
+
+Raw: lo={json.dumps(lo)}
+     hi={json.dumps(hi)}
+
+Note: speedup is normalized by the {ratio:.0f}x core ratio. Query latency at
+this corpus size is dominated by fixed per-job scheduling (~0.3s/job), which
+caps measurable query scaling on a single host; index build is the
+throughput-bound stage the rule targets.
+"""
+        )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
