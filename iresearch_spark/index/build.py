@@ -12,12 +12,14 @@ Scale notes (the parts that must survive 1000 executors / 100 TB):
 - Deterministic docIDs WITHOUT a global single-partition window:
   range-partition by the canonical key, count per partition, prefix-sum the
   (tiny) counts on the driver, then partition-local row_number + offset.
-- Exact 128-doc blocks WITHOUT a per-term window (hot terms like `the`,
-  `license` would serialize into one task): rank within (term, doc-chunk)
-  where chunk = doc_id >> chunk_bits bounds every window group to 2^chunk_bits
-  rows, and per-term chunk offsets come from a window over per-chunk COUNTS
-  (one row per (term, chunk) — tiny). This is the salting strategy from
-  SURVEY.md §7.
+- 128-doc blocks WITHOUT per-term windows or per-block groupBys (hot terms
+  like `the`, `license` would serialize into one task): postings group by
+  (term, chunk) where chunk = doc_id >> chunk_bits bounds every group to
+  2^chunk_bits postings, and one Arrow kernel splits each group into packed
+  blocks. This is the salting strategy from SURVEY.md §7; the cost is at
+  most one partial block per (term, chunk) tail.
+- dl rides on every posting from tokenize time — no doclen join anywhere in
+  the build or query path.
 """
 
 from __future__ import annotations
@@ -29,13 +31,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from iresearch_spark.analysis.analyzers import Analyzer, TextAnalyzer, tokenize
 from iresearch_spark.index.codec import (
     BLOCK_SIZE,
     delta_encode,
-    pack_positions,
     varint_encode,
 )
 
@@ -43,28 +51,90 @@ DEFAULT_CHUNK_BITS = 14  # window groups bounded to 16384 postings
 
 
 # ---------------------------------------------------------------------------
-# Packing kernels (Arrow-vectorized; the data-plane work Catalyst can't do)
+# Packing kernel (Arrow-vectorized; the data-plane work Catalyst can't do)
+#
+# Perf notes (measured at 50k docs / 4.6M postings):
+# - positions are FLATTENED before crossing into Python — shipping
+#   array<array<int>> through Arrow was ~7x slower than flat int arrays
+# - one array-of-struct-returning UDF splits a whole (term, chunk) group
+#   into blocks, so there are NO per-term rank windows and NO per-block
+#   groupBy — the only wide ops in the pack are groupBy(term, chunk) and
+#   the final repartition(term) for the on-disk layout
+# - delta-encoding is numpy-vectorized inside the kernel (a JVM-side
+#   element_at-based delta was O(n^2) per block and 2x slower end-to-end)
 # ---------------------------------------------------------------------------
 
-@pandas_udf(BinaryType())
-def _pack_delta_varint(arrays: pd.Series) -> pd.Series:
-    """array<long> (sorted) -> delta+varint bytes."""
-    return arrays.map(lambda a: varint_encode(delta_encode(np.asarray(a, dtype=np.uint64))))
+_BLOCK_STRUCT = StructType(
+    [
+        StructField("block_intra", IntegerType()),
+        StructField("doc_count", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("max_tf", IntegerType()),
+        StructField("min_dl", IntegerType()),
+        StructField("docs_bin", BinaryType()),
+        StructField("tfs_bin", BinaryType()),
+        StructField("dls_bin", BinaryType()),
+        StructField("pos_bin", BinaryType()),
+    ]
+)
 
 
-@pandas_udf(BinaryType())
-def _pack_varint(arrays: pd.Series) -> pd.Series:
-    """array<int> -> varint bytes (no delta; used for tfs)."""
-    return arrays.map(lambda a: varint_encode(np.asarray(a, dtype=np.uint64)))
+def _make_chunk_packer(block_size: int):
+    @pandas_udf(ArrayType(_BLOCK_STRUCT))
+    def _pack_chunk_udf(
+        doc_ids: pd.Series, tfs: pd.Series, dls: pd.Series, pos_flat: pd.Series
+    ) -> pd.Series:
+        """One input row = one (term, chunk) posting group (doc-sorted flat
+        arrays); output = that group split into <=block_size-doc packed
+        blocks (the reference postings_writer's 128-doc block loop,
+        formats_10.cpp:865-891, chunk-local)."""
+        out = []
+        for d, t, l, p in zip(doc_ids, tfs, dls, pos_flat):
+            darr = np.asarray(d, dtype=np.uint64)
+            tarr = np.asarray(t, dtype=np.uint64)
+            larr = np.asarray(l, dtype=np.uint64)
+            n = darr.size
+            if p is not None:
+                parr = np.asarray(p, dtype=np.uint64)
+                pos_ends = np.cumsum(tarr)
+            blocks = []
+            for b, s in enumerate(range(0, n, block_size)):
+                e = min(s + block_size, n)
+                db, tb, lb = darr[s:e], tarr[s:e], larr[s:e]
+                if p is not None:
+                    ps = 0 if s == 0 else int(pos_ends[s - 1])
+                    pe = int(pos_ends[e - 1])
+                    pb = parr[ps:pe]
+                    if pb.size:
+                        deltas = np.empty_like(pb)
+                        deltas[0] = pb[0]
+                        np.subtract(pb[1:], pb[:-1], out=deltas[1:])
+                        starts = (np.concatenate(([0], np.cumsum(tb)[:-1].astype(np.int64)))).astype(np.int64)
+                        deltas[starts] = pb[starts]  # delta resets per doc
+                        pos_bin = varint_encode(deltas)
+                    else:
+                        pos_bin = b""
+                else:
+                    pos_bin = None
+                blocks.append(
+                    {
+                        "block_intra": b,
+                        "doc_count": int(e - s),
+                        "first_doc": int(db[0]),
+                        "last_doc": int(db[-1]),
+                        "max_tf": int(tb.max()),
+                        "min_dl": int(lb.min()),
+                        "docs_bin": varint_encode(delta_encode(db)),
+                        "tfs_bin": varint_encode(tb),
+                        "dls_bin": varint_encode(lb),
+                        "pos_bin": pos_bin,
+                    }
+                )
+            out.append(blocks)
+        return pd.Series(out)
 
-
-@pandas_udf(BinaryType())
-def _pack_pos(arrays: pd.Series) -> pd.Series:
-    """array<array<int>> (per-doc sorted positions) -> concatenated
-    per-doc position-delta varints (.pos stream analogue)."""
-    return arrays.map(
-        lambda docs: pack_positions([np.asarray(p, dtype=np.uint64) for p in docs])
-    )
+    return _pack_chunk_udf
 
 
 # ---------------------------------------------------------------------------
@@ -130,17 +200,32 @@ def invert(
                    semantics, reference core/index/norm.hpp:75-125]
     """
     analyzer = analyzer or TextAnalyzer()
-    toks = tokenize(docs, text_col, doc_id_col, analyzer, with_positions=True)
+    # attach dl (emitted-token count) BEFORE the explode: it rides along to
+    # every posting, so packing never joins a doclen table — at cluster
+    # scale that join would shuffle the whole postings set per build.
+    raw = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        analyzer.raw_tokens(F.col(text_col)).alias("_raw"),
+    )
+    raw = raw.withColumn(
+        "dl", F.size(F.filter("_raw", lambda t: analyzer.keep(t))).cast("int")
+    )
+    toks = raw.select(
+        "doc_id", "dl", F.posexplode("_raw").alias("pos", "term")
+    ).where(analyzer.keep(F.col("term")))
     if with_positions:
-        flat = toks.groupBy(doc_id_col, "term").agg(
+        flat = toks.groupBy("doc_id", "dl", "term").agg(
             F.count("*").cast("int").alias("tf"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
     else:
-        flat = toks.groupBy(doc_id_col, "term").agg(F.count("*").cast("int").alias("tf"))
-    # dl = sum(tf) per doc == emitted-token count; derived from `flat` (which
-    # callers persist) instead of re-tokenizing the corpus
-    doclen = flat.groupBy(doc_id_col).agg(F.sum("tf").cast("int").alias("len"))
+        flat = toks.groupBy("doc_id", "dl", "term").agg(
+            F.count("*").cast("int").alias("tf")
+        )
+    # doclen derived from flat (callers persist flat); docs with zero
+    # emitted tokens have no postings and no doclen row — docs_with_field
+    # semantics, matching the reference's norms column
+    doclen = flat.groupBy("doc_id").agg(F.max("dl").cast("int").alias("len"))
     return flat, doclen
 
 
@@ -150,75 +235,96 @@ def invert(
 
 def pack_postings(
     postings_flat: DataFrame,
-    doclen: DataFrame,
+    doclen: DataFrame | None = None,
     block_size: int = BLOCK_SIZE,
     chunk_bits: int = DEFAULT_CHUNK_BITS,
     with_positions: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """(doc_id, term, tf[, positions]) -> packed block rows.
+    """(doc_id, dl, term, tf[, positions]) -> packed block rows.
 
     Output: (term, block_id, doc_count, first_doc, last_doc, max_tf, min_dl,
-    docs_bin, tfs_bin[, pos_bin]). Blocks hold exactly `block_size` docs
-    (last block per term excepted) in ascending doc order; (max_tf, min_dl)
-    is the block-max WAND pair (reference core/search/wand_writer.hpp:
-    MaxFreq/MinNorm producers).
+    docs_bin, tfs_bin, dls_bin[, pos_bin]).
+
+    Blocks hold up to `block_size` docs in ascending doc order; blocks are
+    exactly block_size within each doc-range *chunk* (chunk = doc_id >>
+    chunk_bits), with at most one partial block per (term, chunk) tail.
+    Chunking bounds the largest single aggregation group to 2^chunk_bits
+    postings, so hot terms (`the`, `license`) spread across tasks instead of
+    serializing into one — the salting strategy from SURVEY.md §7. block_id =
+    chunk * blocks_per_chunk + intra is globally doc-ordered per term.
+
+    (max_tf, min_dl) per block is the block-max WAND pair (reference
+    core/search/wand_writer.hpp MaxFreq/MinNorm producers).
+
+    Per-posting doc length is INLINED into the block (impact-ordered-index
+    style): BM25 needs (tf, dl) per posting, and inlining dl (~1 varint
+    byte) makes query scoring join-free — at cluster scale a per-query join
+    of the hit set against a doclen table would dwarf everything else. If
+    `postings_flat` lacks a dl column, pass `doclen` to attach it (merge
+    path); `invert()` output already carries dl.
     """
-    p = postings_flat.join(doclen, "doc_id")  # attach dl for block min_dl
-    chunk = (F.col("doc_id") / F.lit(1 << chunk_bits)).cast("long")
-    p = p.withColumn("_chunk", chunk)
-
-    # per-(term, chunk) counts -> per-term running offset of each chunk
-    counts = p.groupBy("term", "_chunk").agg(F.count("*").alias("_cnt"))
-    w_off = (
-        Window.partitionBy("term")
-        .orderBy("_chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-    ).drop("_cnt")
-
-    w_rank = Window.partitionBy("term", "_chunk").orderBy("doc_id")
-    ranked = (
-        p.join(offsets, ["term", "_chunk"])
-        .withColumn("_rank", F.row_number().over(w_rank) - 1 + F.col("_off"))
-        .withColumn("block_id", (F.col("_rank") / block_size).cast("int"))
-    )
+    p = postings_flat
+    if "dl" not in p.columns:
+        assert doclen is not None, "postings_flat lacks dl; doclen required"
+        p = p.join(doclen, "doc_id").withColumnRenamed("len", "dl")
+    p = p.withColumn("_chunk", (F.col("doc_id") / F.lit(1 << chunk_bits)).cast("long"))
 
     entry = (
-        F.struct("doc_id", "tf", F.col("len").alias("dl"), "positions")
+        F.struct("doc_id", "tf", "dl", "positions")
         if with_positions
-        else F.struct("doc_id", "tf", F.col("len").alias("dl"))
+        else F.struct("doc_id", "tf", "dl")
     )
-    grouped = ranked.groupBy("term", "block_id").agg(
-        F.sort_array(F.collect_list(entry)).alias("plist"),
-        F.min("len").alias("min_dl"),
+    grouped = p.groupBy("term", "_chunk").agg(
+        F.sort_array(F.collect_list(entry)).alias("plist")
     )
     doc_ids = F.transform("plist", lambda x: x["doc_id"])
     tfs = F.transform("plist", lambda x: x["tf"])
-    # Per-posting doc length is INLINED into the block (impact-ordered-index
-    # style): BM25 needs (tf, dl) per posting, and inlining dl makes query
-    # scoring join-free — at cluster scale a per-query join of the hit set
-    # against a doclen table would dwarf everything else. ~1 varint byte per
-    # posting. This generalizes the reference's per-block MinNorm WAND pair
-    # (core/search/wand_writer.hpp MinNorm) to exact per-doc norms.
     dls = F.transform("plist", lambda x: x["dl"])
-    out = grouped.select(
+    if with_positions:
+        # flat positions; per-doc boundaries recovered from tfs in the UDF
+        pos_flat = F.flatten(F.transform("plist", lambda s: s["positions"])).cast(
+            "array<long>"
+        )
+    else:
+        pos_flat = F.lit(None).cast("array<long>")
+    pre = grouped.select(
         "term",
-        "block_id",
-        F.size("plist").alias("doc_count"),
-        F.element_at(doc_ids, 1).alias("first_doc"),
-        F.element_at(doc_ids, -1).alias("last_doc"),
-        F.array_max(tfs).alias("max_tf"),
-        F.col("min_dl").cast("int").alias("min_dl"),
-        _pack_delta_varint(doc_ids).alias("docs_bin"),
-        _pack_varint(tfs).alias("tfs_bin"),
-        _pack_varint(dls).alias("dls_bin"),
-        *(
-            [_pack_pos(F.transform("plist", lambda x: x["positions"])).alias("pos_bin")]
-            if with_positions
-            else []
-        ),
+        "_chunk",
+        doc_ids.cast("array<long>").alias("_dd"),
+        tfs.cast("array<long>").alias("_tf"),
+        dls.cast("array<long>").alias("_dl"),
+        pos_flat.alias("_pd"),
+    )
+    # The exchange below is (a) the physical layout we want on disk (term-
+    # clustered, block-ordered, so term-IN parquet pushdown prunes row
+    # groups) and (b) a CollapseProject barrier: without it Catalyst folds
+    # the array projection into the UDF projection and fails with
+    # "Cannot evaluate expression" (Python UDFs cannot take lambda-bearing
+    # higher-order inputs).
+    n_part = num_partitions or postings_flat.sparkSession.sparkContext.defaultParallelism
+    pre = pre.repartition(n_part, "term").sortWithinPartitions("term", "_chunk")
+    packer = _make_chunk_packer(block_size)
+    blocks_per_chunk = max(1, (1 << chunk_bits) // block_size)
+    exploded = pre.select(
+        "term",
+        "_chunk",
+        F.explode(packer("_dd", "_tf", "_dl", "_pd")).alias("_b"),
+    )
+    out = exploded.select(
+        "term",
+        (F.col("_chunk") * blocks_per_chunk + F.col("_b.block_intra"))
+        .cast("long")
+        .alias("block_id"),
+        F.col("_b.doc_count").alias("doc_count"),
+        F.col("_b.first_doc").alias("first_doc"),
+        F.col("_b.last_doc").alias("last_doc"),
+        F.col("_b.max_tf").alias("max_tf"),
+        F.col("_b.min_dl").alias("min_dl"),
+        F.col("_b.docs_bin").alias("docs_bin"),
+        F.col("_b.tfs_bin").alias("tfs_bin"),
+        F.col("_b.dls_bin").alias("dls_bin"),
+        *([F.col("_b.pos_bin").alias("pos_bin")] if with_positions else []),
     )
     return out
 

@@ -43,6 +43,7 @@ FLAT_SCHEMA = StructType(
     [
         StructField("segment", StringType()),
         StructField("doc_id", LongType()),
+        StructField("dl", IntegerType()),
         StructField("term", StringType()),
         StructField("tf", IntegerType()),
         StructField("positions", ArrayType(IntegerType())),
@@ -51,14 +52,15 @@ FLAT_SCHEMA = StructType(
 
 
 def _unpack_kernel(with_positions: bool):
-    """Packed block rows -> flat (segment, doc_id, term, tf, positions)."""
+    """Packed block rows -> flat (segment, doc_id, dl, term, tf, positions)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"segment": [], "doc_id": [], "term": [], "tf": [], "positions": []}
+            out = {"segment": [], "doc_id": [], "dl": [], "term": [], "tf": [], "positions": []}
             for row in pdf.itertuples(index=False):
                 docs = delta_decode(varint_decode(row.docs_bin)).astype(np.int64)
                 tfs = varint_decode(row.tfs_bin).astype(np.int64)
+                dls = varint_decode(row.dls_bin).astype(np.int64)
                 poss = (
                     unpack_positions(row.pos_bin, tfs)
                     if with_positions
@@ -67,6 +69,7 @@ def _unpack_kernel(with_positions: bool):
                 n = len(docs)
                 out["segment"].extend([row.segment] * n)
                 out["doc_id"].extend(docs.tolist())
+                out["dl"].extend(dls.tolist())
                 out["term"].extend([row.term] * n)
                 out["tf"].extend(tfs.tolist())
                 out["positions"].extend(
@@ -153,23 +156,19 @@ def merge_segments(
         .join(doc_map, ["segment", "doc_id"])
         .select(
             F.col("new_doc").alias("doc_id"),
+            "dl",
             "term",
             "tf",
             *(["positions"] if with_positions else []),
         )
         .persist()
     )
-    doclen = flat.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("len"))
-    packed = pack_postings(flat, doclen, with_positions=with_positions)
+    doclen = flat.groupBy("doc_id").agg(F.max("dl").cast("int").alias("len"))
+    n_part = spark.sparkContext.defaultParallelism
+    packed = pack_postings(flat, with_positions=with_positions, num_partitions=n_part)
     stats = term_stats(flat)
 
-    n_part = spark.sparkContext.defaultParallelism
-    (
-        packed.repartition(n_part, "term")
-        .sortWithinPartitions("term", "block_id")
-        .write.mode("overwrite")
-        .parquet(store.seg_path(new_name, "postings"))
-    )
+    packed.write.mode("overwrite").parquet(store.seg_path(new_name, "postings"))
     doclen.coalesce(max(1, n_part // 4)).write.mode("overwrite").parquet(
         store.seg_path(new_name, "doclen")
     )

@@ -223,16 +223,14 @@ def build_segment(
 
     flat, doclen = invert(docs, text_col, "doc_id", analyzer, with_positions)
     flat = flat.persist()
-    packed = pack_postings(flat, doclen, with_positions=with_positions)
+    n_part = spark.sparkContext.defaultParallelism
+    # pack_postings already repartitions by term and sorts (term, block_id)
+    packed = pack_postings(
+        flat, doclen, with_positions=with_positions, num_partitions=n_part
+    )
     stats = term_stats(flat)
 
-    n_part = spark.sparkContext.defaultParallelism
-    (
-        packed.repartition(n_part, "term")
-        .sortWithinPartitions("term", "block_id")
-        .write.mode("overwrite")
-        .parquet(store.seg_path(seg_name, "postings"))
-    )
+    packed.write.mode("overwrite").parquet(store.seg_path(seg_name, "postings"))
     doclen.coalesce(max(1, n_part // 4)).write.mode("overwrite").parquet(
         store.seg_path(seg_name, "doclen")
     )

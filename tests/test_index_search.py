@@ -82,7 +82,11 @@ def test_packed_postings_match_oracle(spark, store, oracle_idx):
     assert set(by_term) == set(oracle_idx.postings)
     for term, blocks in by_term.items():
         blocks.sort(key=lambda r: r["block_id"])
-        assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+        # block ids strictly increasing, doc ranges disjoint ascending
+        ids = [b["block_id"] for b in blocks]
+        assert ids == sorted(set(ids))
+        for b1, b2 in zip(blocks, blocks[1:]):
+            assert b1["last_doc"] < b2["first_doc"]
         docs, tfs, poss = [], [], []
         for b in blocks:
             d = delta_decode(varint_decode(b["docs_bin"])).astype(int)
@@ -100,9 +104,9 @@ def test_packed_postings_match_oracle(spark, store, oracle_idx):
             docs.extend(d)
             tfs.extend(t)
             poss.extend([list(map(int, x)) for x in p])
-        # all blocks except the last hold exactly 128 docs
+        # blocks hold <=128 docs; full except (term, chunk) tails
         sizes = [b["doc_count"] for b in blocks]
-        assert all(s == 128 for s in sizes[:-1])
+        assert all(0 < s <= 128 for s in sizes)
         exp = oracle_idx.postings[term]
         assert docs == [d for d, _, _ in exp]
         assert tfs == [tf for _, tf, _ in exp]
