@@ -59,6 +59,11 @@ def main() -> None:
     store = IndexStore(root)
     corpus = generate_corpus(spark, n_docs, seed=42).persist()
     corpus.count()  # materialize input outside the build timing
+    # warmup: compile codegen paths + spawn Python workers on a tiny slice
+    # so the timed run measures throughput, not JVM/worker startup
+    warm = IndexStore(tempfile.mkdtemp(prefix="irwarm_"))
+    build_segment(spark, warm, corpus.limit(500), "w")
+    shutil.rmtree(warm.root, ignore_errors=True)
     t0 = time.time()
     meta = build_segment(spark, store, corpus, "bench0")
     build_sec = time.time() - t0

@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -53,15 +54,14 @@ DEFAULT_CHUNK_BITS = 14  # window groups bounded to 16384 postings
 # ---------------------------------------------------------------------------
 # Packing kernel (Arrow-vectorized; the data-plane work Catalyst can't do)
 #
-# Perf notes (measured at 50k docs / 4.6M postings):
-# - positions are FLATTENED before crossing into Python — shipping
-#   array<array<int>> through Arrow was ~7x slower than flat int arrays
-# - one array-of-struct-returning UDF splits a whole (term, chunk) group
-#   into blocks, so there are NO per-term rank windows and NO per-block
-#   groupBy — the only wide ops in the pack are groupBy(term, chunk) and
-#   the final repartition(term) for the on-disk layout
-# - delta-encoding is numpy-vectorized inside the kernel (a JVM-side
-#   element_at-based delta was O(n^2) per block and 2x slower end-to-end)
+# Perf evolution (measured at 120k docs / 11M postings, 8 cores):
+#   window-rank + per-block groupBy + 4 scalar UDFs ........ ~52s
+#   (term, chunk) groupBy + array-of-struct UDF ............ ~33s
+#   ONE repartition + streaming mapInPandas packer ......... see bench
+# Other hard-won rules encoded here:
+# - never ship array<array<int>> through Arrow (flatten positions first)
+# - delta-encode in numpy, not in JVM lambdas (element_at delta is O(n^2))
+# - Python UDFs cannot take lambda-bearing higher-order inputs
 # ---------------------------------------------------------------------------
 
 _BLOCK_STRUCT = StructType(
@@ -72,6 +72,7 @@ _BLOCK_STRUCT = StructType(
         StructField("last_doc", LongType()),
         StructField("max_tf", IntegerType()),
         StructField("min_dl", IntegerType()),
+        StructField("sum_tf", LongType()),
         StructField("docs_bin", BinaryType()),
         StructField("tfs_bin", BinaryType()),
         StructField("dls_bin", BinaryType()),
@@ -125,6 +126,7 @@ def _make_chunk_packer(block_size: int):
                         "last_doc": int(db[-1]),
                         "max_tf": int(tb.max()),
                         "min_dl": int(lb.min()),
+                        "sum_tf": int(tb.sum()),
                         "docs_bin": varint_encode(delta_encode(db)),
                         "tfs_bin": varint_encode(tb),
                         "dls_bin": varint_encode(lb),
@@ -303,7 +305,11 @@ def pack_postings(
     # "Cannot evaluate expression" (Python UDFs cannot take lambda-bearing
     # higher-order inputs).
     n_part = num_partitions or postings_flat.sparkSession.sparkContext.defaultParallelism
-    pre = pre.repartition(n_part, "term").sortWithinPartitions("term", "_chunk")
+    # (term, chunk) in the partition key spreads hot terms across tasks;
+    # sortWithinPartitions keeps term clustering for parquet row-group
+    # pruning. The exchange is also the CollapseProject barrier Python UDFs
+    # need under lambda-bearing inputs.
+    pre = pre.repartition(n_part, "term", "_chunk").sortWithinPartitions("term", "_chunk")
     packer = _make_chunk_packer(block_size)
     blocks_per_chunk = max(1, (1 << chunk_bits) // block_size)
     exploded = pre.select(
@@ -321,6 +327,7 @@ def pack_postings(
         F.col("_b.last_doc").alias("last_doc"),
         F.col("_b.max_tf").alias("max_tf"),
         F.col("_b.min_dl").alias("min_dl"),
+        F.col("_b.sum_tf").alias("sum_tf"),
         F.col("_b.docs_bin").alias("docs_bin"),
         F.col("_b.tfs_bin").alias("tfs_bin"),
         F.col("_b.dls_bin").alias("dls_bin"),
@@ -336,3 +343,178 @@ def term_stats(postings_flat: DataFrame) -> DataFrame:
         F.count("*").alias("doc_freq"),
         F.sum("tf").alias("total_tf"),
     )
+
+
+def term_stats_from_packed(packed: DataFrame) -> DataFrame:
+    """Same stats derived from packed block metadata (doc_count / sum_tf
+    per block) — lets the build aggregate stats from the (small) written
+    postings table instead of re-scanning or caching the flat postings."""
+    return packed.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("doc_freq"),
+        F.sum("sum_tf").cast("long").alias("total_tf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic docID assignment + inversion
+# ---------------------------------------------------------------------------
+
+def assign_doc_ids(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str = "doc_id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense deterministic ids = `start` + global rank by key_cols.
+
+    Equivalent to ``row_number() OVER (ORDER BY key_cols)`` but scalable: the
+    global ORDER BY window would execute in ONE task. Here: range-partition
+    on the key, count rows per partition (a tiny aggregate), prefix-sum the
+    counts on the driver, and add the per-partition base to a
+    partition-local row_number. Deterministic for unique keys regardless of
+    sampling boundaries (reference parity: per-segment dense insertion-order
+    doc_id_t, core/utils/type_limits.hpp:39-50).
+    """
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(n_part, *key_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    keyed = keyed.persist()
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in keyed.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    bases, acc = {}, start
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_map = F.create_map(
+        *[F.lit(x) for kv in sorted(bases.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
+    out = keyed.withColumn(
+        out_col,
+        (F.row_number().over(w) - 1 + base_map[F.col("_pid")]).cast("long"),
+    ).drop("_pid")
+    return out
+
+
+
+def invert(
+    docs: DataFrame,
+    text_col: str = "content",
+    doc_id_col: str = "doc_id",
+    analyzer: Analyzer | None = None,
+    with_positions: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """docs -> (postings_flat, doclen).
+
+    postings_flat: (doc_id, term, tf, positions array<int>|absent)
+    doclen:        (doc_id, len)   [len = emitted-token count, Norm2
+                   semantics, reference core/index/norm.hpp:75-125]
+    """
+    analyzer = analyzer or TextAnalyzer()
+    # attach dl (emitted-token count) BEFORE the explode: it rides along to
+    # every posting, so packing never joins a doclen table — at cluster
+    # scale that join would shuffle the whole postings set per build.
+    raw = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        analyzer.raw_tokens(F.col(text_col)).alias("_raw"),
+    )
+    raw = raw.withColumn(
+        "dl", F.size(F.filter("_raw", lambda t: analyzer.keep(t))).cast("int")
+    )
+    toks = raw.select(
+        "doc_id", "dl", F.posexplode("_raw").alias("pos", "term")
+    ).where(analyzer.keep(F.col("term")))
+    if with_positions:
+        flat = toks.groupBy("doc_id", "dl", "term").agg(
+            F.count("*").cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    else:
+        flat = toks.groupBy("doc_id", "dl", "term").agg(
+            F.count("*").cast("int").alias("tf")
+        )
+    # doclen derived from flat (callers persist flat); docs with zero
+    # emitted tokens have no postings and no doclen row — docs_with_field
+    # semantics, matching the reference's norms column
+    doclen = flat.groupBy("doc_id").agg(F.max("dl").cast("int").alias("len"))
+    return flat, doclen
+
+
+
+FLAT_INVERT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dl", IntegerType()),
+        StructField("term", StringType()),
+        StructField("tf", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+
+def invert_arrow(
+    docs: DataFrame,
+    text_col: str = "content",
+    doc_id_col: str = "doc_id",
+    analyzer: TextAnalyzer | None = None,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Map-side inversion: one mapInPandas pass produces per-(doc, term)
+    postings directly — no explode, no (doc, term) shuffle. This is the
+    reference's in-memory inversion loop (core/index/field_data.cpp:985-1080,
+    token stream -> per-term positions) run per Arrow batch; the per-segment
+    postings hash becomes a per-document dict.
+
+    Only valid for TextAnalyzer-family analyzers (regex split + stopword
+    set); exotic analyzers go through the declarative invert()."""
+    analyzer = analyzer or TextAnalyzer()
+    assert isinstance(analyzer, TextAnalyzer), "invert_arrow requires TextAnalyzer"
+    import re as _re
+
+    delim = analyzer.delim_regex
+    lowercase = analyzer.lowercase
+    stops = frozenset(analyzer.stopwords)
+
+    def kernel(batches):
+        rx = _re.compile(delim)
+        for pdf in batches:
+            out_doc, out_dl, out_term, out_tf, out_pos = [], [], [], [], []
+            for doc_id, content in zip(pdf[doc_id_col], pdf[text_col]):
+                if content is None:
+                    continue
+                toks = rx.split(content.lower() if lowercase else content)
+                acc = {}
+                pos = 0
+                for t in toks:
+                    if not t:
+                        continue
+                    if t in stops:
+                        pos += 1
+                        continue
+                    acc.setdefault(t, []).append(pos)
+                    pos += 1
+                dl = sum(len(v) for v in acc.values())
+                for term, ps in acc.items():
+                    out_doc.append(doc_id)
+                    out_dl.append(dl)
+                    out_term.append(term)
+                    out_tf.append(len(ps))
+                    out_pos.append(ps if with_positions else None)
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "dl": out_dl,
+                        "term": out_term,
+                        "tf": out_tf,
+                        "positions": out_pos,
+                    }
+                )
+
+    return docs.select(doc_id_col, text_col).mapInPandas(kernel, FLAT_INVERT_SCHEMA)
+
+

@@ -40,8 +40,9 @@ from iresearch_spark.analysis.analyzers import Analyzer, TextAnalyzer
 from iresearch_spark.index.build import (
     assign_doc_ids,
     invert,
+    invert_arrow,
     pack_postings,
-    term_stats,
+    term_stats_from_packed,
 )
 
 TABLES = ("postings", "doclen", "term_stats", "docmap", "lineage")
@@ -143,6 +144,16 @@ class IndexStore:
         return os.path.join(self.root, "segments", seg, table)
 
     def read(self, spark: SparkSession, seg: str, table: str) -> DataFrame:
+        # doclen is a projection of docmap (which carries `len`) — one less
+        # table to write per segment; docs with no emitted tokens are
+        # excluded (docs_with_field semantics). Falls back to a physical
+        # doclen directory for segments written by older builds.
+        if table == "doclen" and not os.path.exists(self.seg_path(seg, "doclen")):
+            return (
+                spark.read.parquet(self.seg_path(seg, "docmap"))
+                .select("doc_id", "len")
+                .where(F.col("len") > 0)
+            )
         return spark.read.parquet(self.seg_path(seg, table))
 
     def read_union(self, spark: SparkSession, table: str, segments=None) -> DataFrame:
@@ -221,36 +232,43 @@ def build_segment(
         docs = docs.withColumnRenamed(doc_id_col, "doc_id")
     docs = docs.persist()
 
-    flat, doclen = invert(docs, text_col, "doc_id", analyzer, with_positions)
-    flat = flat.persist()
+    # Declarative inversion (Arrow tokenizer UDF + JVM groupBy — measured
+    # faster than a full map-side Python inversion). `flat` is consumed
+    # exactly once (by the pack write): term_stats come from packed block
+    # metadata and doc lengths live in docmap, so nothing caches the flat
+    # postings.
+    flat, _doclen = invert(docs, text_col, "doc_id", analyzer, with_positions)
     n_part = spark.sparkContext.defaultParallelism
-    # pack_postings already repartitions by term and sorts (term, block_id)
-    packed = pack_postings(
-        flat, doclen, with_positions=with_positions, num_partitions=n_part
-    )
-    stats = term_stats(flat)
-
+    packed = pack_postings(flat, with_positions=with_positions, num_partitions=n_part)
     packed.write.mode("overwrite").parquet(store.seg_path(seg_name, "postings"))
-    doclen.coalesce(max(1, n_part // 4)).write.mode("overwrite").parquet(
-        store.seg_path(seg_name, "doclen")
-    )
-    stats.repartition(max(1, n_part // 4), "term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(store.seg_path(seg_name, "term_stats"))
 
-    ident_cols = [c for c in docs.columns if c in ("repo", "path", "commit", "lang", "content_sha256", "source")]
-    docs.select("doc_id", *ident_cols).write.mode("overwrite").parquet(
-        store.seg_path(seg_name, "docmap")
+    packed_on_disk = spark.read.parquet(store.seg_path(seg_name, "postings"))
+    term_stats_from_packed(packed_on_disk).repartition(
+        max(1, n_part // 4), "term"
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+        store.seg_path(seg_name, "term_stats")
     )
+    # docmap carries the doc length (`len`) so no separate doclen table is
+    # written — IndexStore.read(seg, "doclen") projects it back out. One
+    # tokenize-only pass computes dl inline.
+    ident_cols = [c for c in docs.columns if c in ("repo", "path", "commit", "lang", "content_sha256", "source")]
+    dl_expr = F.size(
+        F.filter(analyzer.raw_tokens(F.col(text_col)), lambda t: analyzer.keep(t))
+    ).cast("int")
+    docs.select("doc_id", dl_expr.alias("len"), *ident_cols).write.mode(
+        "overwrite"
+    ).parquet(store.seg_path(seg_name, "docmap"))
     _lineage(
         docs,
         key_cols if all(c in docs.columns for c in key_cols) else ["doc_id"],
         text_col,
     ).write.mode("overwrite").parquet(store.seg_path(seg_name, "lineage"))
 
-    agg = doclen.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s")
-    ).collect()[0]
+    agg = (
+        store.read(spark, seg_name, "doclen")
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s"))
+        .collect()[0]
+    )
     meta = SegmentMeta(
         name=seg_name,
         docs_count=int(agg["n"]),
@@ -258,7 +276,6 @@ def build_segment(
         bytes=store.dir_bytes(seg_name),
         created_at=time.time(),
     )
-    flat.unpersist()
     docs.unpersist()
 
     if commit:

@@ -357,3 +357,73 @@ SELECT t.doc_id AS doc_id,
          * (b.n_alnum * 1e0 / b.n_chars)) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS quality
 FROM traw t JOIN base b ON t.doc_id = b.doc_id
 ORDER BY doc_id"""
+
+
+def tfidf_topk(d: str, terms: list[str], with_norms: bool = False, k: int = 10) -> str:
+    """TF-IDF scorer (reference core/search/tfidf.cpp:185-187,274-277):
+    idf = ln(1 + (N+1)/(n+1)); score = sum(sqrt(tf) * idf [/ sqrt(dl)])."""
+    norm = " / sqrt(dl)" if with_norms else ""
+    expr = f"ln(1 + (n_docs + 1e0) / (doc_freq + 1e0)) * sqrt(tf){norm}"
+    return f"""{tok_ctes(d)},
+hits AS (
+  SELECT tf.doc_id AS doc_id, SUM({expr}) AS raw_score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_terms_in(terms)}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM hits
+ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
+LIMIT {k}"""
+
+
+def bm25_variant_topk(d: str, terms: list[str], k1: float, b: float, k: int = 10) -> str:
+    """BM15 (b=0) / BM11 (b=1) / BM1 (k1=0) variants
+    (reference core/search/bm25.hpp:107-113)."""
+    if k1 == 0.0:
+        expr = "ln(1 + (n_docs - doc_freq + 0.5e0) / (doc_freq + 0.5e0))"
+    else:
+        expr = (
+            f"ln(1 + (n_docs - doc_freq + 0.5e0) / (doc_freq + 0.5e0)) "
+            f"* ({k1 + 1.0}e0 * tf) / ({k1}e0 * ({1.0 - b}e0 + {b}e0 * dl / avgdl) + tf)"
+        )
+    return f"""{tok_ctes(d)},
+hits AS (
+  SELECT tf.doc_id AS doc_id, SUM({expr}) AS raw_score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_terms_in(terms)}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM hits
+ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
+LIMIT {k}"""
+
+
+def column_existence_sql(d: str) -> str:
+    """by_column_existence analogue (reference core/search/
+    column_existence_filter.cpp): docs having a non-null column."""
+    return """SELECT CAST(count(*) AS BIGINT) AS docs_with_lang,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents WHERE lang IS NOT NULL"""
+
+
+def same_position_sql(d: str, terms: list[str], k: int = 100) -> str:
+    """by_same_position analogue (reference core/search/
+    same_position_filter.cpp): docs where all terms share one position.
+    With a single-token-per-position analyzer this is only satisfiable for
+    identical terms; we expose the operator as pairs at distance 0 between
+    a term and itself via tokall (pre-stopword) vs tok streams."""
+    t0, t1 = terms[0], terms[1]
+    return f"""{tok_ctes(d)}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM tokall a JOIN tokall b ON a.doc_id = b.doc_id AND a.pos = b.pos
+WHERE a.term = '{t0}' AND b.term = '{t1}'
+ORDER BY doc_id
+LIMIT {k}"""

@@ -48,6 +48,14 @@ def build_registry() -> dict[str, dict[str, str]]:
     # --- phrase ---
     r["phrase_low"] = _pair(P.phrase_topk, terms=PHRASE)
     r["phrase_med"] = _pair(P.phrase_topk, terms=PHRASE_MED)
+    # --- scorer variants ---
+    r["tfidf_high"] = _pair(P.tfidf_topk, terms=[HIGH])
+    r["tfidf_norms_high"] = _pair(P.tfidf_topk, terms=[HIGH], with_norms=True)
+    r["bm15_high_med"] = _pair(P.bm25_variant_topk, terms=[HIGH, MED], k1=1.2, b=0.0)
+    r["bm11_high_med"] = _pair(P.bm25_variant_topk, terms=[HIGH, MED], k1=1.2, b=1.0)
+    r["bm1_high"] = _pair(P.bm25_variant_topk, terms=[HIGH], k1=0.0, b=0.75)
+    # --- structural filters ---
+    r["column_existence"] = _pair(P.column_existence_sql)
     # --- training-data pipeline ops ---
     r["dedup_exact"] = _pair(P.dedup_exact_sql)
     r["token_quality"] = _pair(P.token_count_sql)

@@ -1,0 +1,86 @@
+"""Analyzer golden tests (mirrors reference tests/analysis/
+text_analyzer_tests.cpp): token + position sequences pinned, Arrow and
+Catalyst paths identical, registry round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iresearch_spark.analysis import (
+    DelimiterAnalyzer,
+    NgramAnalyzer,
+    NormAnalyzer,
+    PipelineAnalyzer,
+    StringAnalyzer,
+    TextAnalyzer,
+    get_analyzer,
+    tokenize,
+)
+from tests import oracle
+
+CASES = [
+    "The Quick,  brown fox; the END_1 foo",
+    "def foo(x): return x + 1  # the comment",
+    "UPPER lower MiXeD_case 123abc",
+    "",
+    "a an and of to in is it for the",  # all stopwords
+    "semi;colons,and.dots!everywhere",
+]
+
+
+def _df(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, content string")
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_text_analyzer_matches_oracle(spark, text):
+    exp = oracle.tokenize(text, frozenset(TextAnalyzer().stopwords))
+    got = [
+        (r["pos"], r["term"])
+        for r in tokenize(_df(spark, text), "content", "doc_id").collect()
+    ]
+    assert got == exp, (text, got, exp)
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_arrow_equals_catalyst(spark, text):
+    df = _df(spark, text)
+    a = df.select(TextAnalyzer(arrow=True).tokens(F.col("content")).alias("t")).collect()[0]["t"]
+    c = df.select(TextAnalyzer(arrow=False).tokens(F.col("content")).alias("t")).collect()[0]["t"]
+    assert a == c, (text, a, c)
+
+
+def test_stopword_position_gaps(spark):
+    rows = tokenize(_df(spark, "x the y"), "content", "doc_id").collect()
+    assert [(r["pos"], r["term"]) for r in rows] == [(0, "x"), (2, "y")]
+
+
+def test_delimiter_analyzer(spark):
+    an = DelimiterAnalyzer(delimiters=(";",))
+    got = _df(spark, "a;b;;c").select(an.tokens(F.col("content")).alias("t")).collect()[0]["t"]
+    assert got == ["a", "b", "c"]
+
+
+def test_ngram_analyzer(spark):
+    an = NgramAnalyzer(min_n=2, max_n=3)
+    got = _df(spark, "abcd").select(an.tokens(F.col("content")).alias("t")).collect()[0]["t"]
+    assert got == ["ab", "bc", "cd", "abc", "bcd"]
+
+
+def test_norm_and_identity(spark):
+    assert _df(spark, "AbC").select(NormAnalyzer().tokens(F.col("content")).alias("t")).collect()[0]["t"] == ["abc"]
+    assert _df(spark, "AbC").select(StringAnalyzer().tokens(F.col("content")).alias("t")).collect()[0]["t"] == ["AbC"]
+
+
+def test_pipeline_analyzer(spark):
+    pipe = PipelineAnalyzer(stages=(DelimiterAnalyzer(delimiters=(",",)), NgramAnalyzer(min_n=2, max_n=2)))
+    got = _df(spark, "ab,cd").select(pipe.tokens(F.col("content")).alias("t")).collect()[0]["t"]
+    assert got == ["ab", "cd"]
+
+
+def test_registry():
+    assert get_analyzer("text").name == "text"
+    assert get_analyzer("segmentation").name == "text"
+    with pytest.raises(KeyError):
+        get_analyzer("nope")
