@@ -233,10 +233,16 @@ class SearchEngine:
 
     # ------------------------------------------------------ physical pieces
 
+    SCAN_COLS = ("segment", "term", "max_tf", "min_dl", "docs_bin", "tfs_bin", "dls_bin")
+
     def _scan_scores(
         self, scorers: dict[str, TermScorer], wand_k: int | None = None
     ) -> DataFrame:
-        blocks = self.postings.where(F.col("term").isin(*scorers.keys()))
+        # explicit projection: mapInPandas does not push column pruning into
+        # the scan, and pos_bin (the largest column) is not needed to score
+        blocks = self.postings.where(F.col("term").isin(*scorers.keys())).select(
+            *self.SCAN_COLS
+        )
         if wand_k is not None:
             # order blocks most-promising-first inside each partition so the
             # kernel's threshold tightens early (WAND efficiency, not
@@ -284,7 +290,9 @@ class SearchEngine:
         if any(t not in stats for t in terms):
             return self._empty_hits()
         term_idx = {t: i for i, t in enumerate(dict.fromkeys(terms))}
-        blocks = self.postings.where(F.col("term").isin(*term_idx.keys()))
+        blocks = self.postings.where(F.col("term").isin(*term_idx.keys())).select(
+            "segment", "term", "docs_bin", "tfs_bin", "dls_bin", "pos_bin"
+        )
         pos_df = blocks.mapInPandas(_positions_kernel(term_idx, self.seg_base), POS_SCHEMA)
         uniq = len(term_idx)
         piv = (
