@@ -427,3 +427,30 @@ FROM tokall a JOIN tokall b ON a.doc_id = b.doc_id AND a.pos = b.pos
 WHERE a.term = '{t0}' AND b.term = '{t1}'
 ORDER BY doc_id
 LIMIT {k}"""
+
+
+def ngram_similarity_sql(d: str, query_terms: list[str], n: int = 2, threshold: float = 0.5, k: int = 20) -> str:
+    """by_ngram_similarity analogue (reference core/search/
+    ngram_similarity_filter.hpp:36-59): docs containing >= threshold
+    fraction of the query's token n-grams; score = matched fraction.
+    (The reference scores by longest-common-sequence ratio; the pinned
+    subset here scores by matched-ngram fraction.)"""
+    grams = [" ".join(query_terms[i : i + n]) for i in range(len(query_terms) - n + 1)]
+    gram_list = ", ".join(f"'{g}'" for g in grams)
+    total = len(grams)
+    return f"""{tok_ctes(d)},
+big AS (
+  SELECT DISTINCT t0.doc_id AS doc_id, t0.term || ' ' || t1.term AS bg
+  FROM tok t0 JOIN tok t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+),
+m AS (
+  SELECT doc_id, CAST(count(DISTINCT bg) AS BIGINT) AS matched
+  FROM big WHERE bg IN ({gram_list})
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(floor((matched * 1e0 / {total}) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM m
+WHERE matched * 1e0 / {total} >= {threshold}e0
+ORDER BY matched DESC, doc_id
+LIMIT {k}"""

@@ -56,6 +56,9 @@ def build_registry() -> dict[str, dict[str, str]]:
     r["bm1_high"] = _pair(P.bm25_variant_topk, terms=[HIGH], k1=0.0, b=0.75)
     # --- structural filters ---
     r["column_existence"] = _pair(P.column_existence_sql)
+    r["ngram_similarity"] = _pair(
+        P.ngram_similarity_sql, query_terms=["fast", "key", "order", "sort"]
+    )
     # --- training-data pipeline ops ---
     r["dedup_exact"] = _pair(P.dedup_exact_sql)
     r["token_quality"] = _pair(P.token_count_sql)
