@@ -36,10 +36,11 @@ def _runner(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 for the high-frequency term at sf0.001."""
+    """Flagship: BM25 top-10 for the high-frequency term at sf0.001,
+    through the packed engine (build -> segment tables -> WAND kernel)."""
     from iresearch_spark.plans.registry import REGISTRY
 
-    return _runner(REGISTRY["term_high"]["spark"])(spark, "/root/testdata/sf0.001")
+    return REGISTRY["term_high"]["fn"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -10,9 +10,14 @@ Four tiers, all DataFrame-native:
 - n-gram Jaccard: exact quadratic verification (oracle tier, also the
                 verifier for LSH candidates)
 
-MinHash math: h_i(x) = (a_i * xxhash64(x) + b_i) mod p, p = 2^61 - 1,
-a_i/b_i derived deterministically from the seed — permutation-free
-min-wise hashing. All column expressions; no per-row Python.
+MinHash math: h_i(x) = (a_i * xxhash64(x) + b_i) mod p, p = 2^31 - 1
+(int64-safe mod-mul: a,h < 2^31 keeps a*h + b < 2^63 with no overflow
+tricks under ANSI mode; the tradeoff vs a 61-bit prime is a ~2^-31
+per-hash collision rate, i.e. ~0.003% expected spurious agreements per
+64-hash signature — negligible next to LSH's own false-positive band
+collisions, but worth knowing at billion-doc scale). a_i/b_i derived
+deterministically from the seed — permutation-free min-wise hashing.
+All column expressions; no per-row Python.
 """
 
 from __future__ import annotations
@@ -27,17 +32,31 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 31) - 1
 
 
-def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str = "doc_id", max_ids: int = 1000
+) -> DataFrame:
     """Duplicate groups by exact value: (group columns hash, keep_doc =
-    min id, n_copies, all_ids)."""
+    min id, n_copies, sample_ids).
+
+    sample_ids is CAPPED at `max_ids` (smallest ids kept): an unbounded
+    collect_list is a per-group memory bomb when boilerplate content has
+    millions of copies at corpus scale, so ids are rank-filtered BEFORE
+    the collect (the agg buffer never holds more than max_ids per group).
+    n_copies is always exact."""
+    from pyspark.sql import Window
+
     key = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    keyed = df.withColumn("_k", key)
+    rank = F.row_number().over(Window.partitionBy("_k").orderBy(id_col))
     return (
-        df.withColumn("_k", key)
+        keyed.withColumn("_r", rank)
         .groupBy(F.col("_k").alias("key_sha256"))
         .agg(
             F.min(id_col).alias("keep_doc"),
             F.count("*").alias("n_copies"),
-            F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_r") <= max_ids, F.col(id_col)))
+            ).alias("sample_ids"),
         )
         .where(F.col("n_copies") > 1)
     )
@@ -107,13 +126,20 @@ def minhash_lsh_pairs(
     token_shingles: bool = True,
     threshold: float = 0.6,
     seed: int = 42,
+    max_bucket: int = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, filtered by estimated
     Jaccard (signature agreement ratio) >= threshold.
 
     Scale shape: the band explode produces `bands` rows per doc; the
     bucket self-join only pairs docs sharing a band hash — no quadratic
-    blowup. Estimated Jaccard = fraction of agreeing minhashes.
+    blowup. Degenerate buckets (license headers, generated boilerplate
+    shared by millions of docs) WOULD go quadratic inside one band_hash,
+    so buckets larger than `max_bucket` are dropped: their members are
+    exact-or-near-exact dups that exact_dedup() finds for ~free, and a
+    doc pair sharing only an overfull bucket almost surely shares another
+    (r consecutive equal minhashes imply high Jaccard). Estimated
+    Jaccard = fraction of agreeing minhashes.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -130,6 +156,12 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket:
+        sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bn"))
+        banded = banded.join(
+            sizes.where(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band", "band_hash"],
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -201,18 +233,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 2,
     threshold: float = 0.6,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact token-n-gram Jaccard pairs >= threshold (quadratic in docs
-    sharing an n-gram; the verification tier behind LSH candidates)."""
+    """Exact token-n-gram Jaccard pairs >= threshold.
+
+    Unrestricted, this is quadratic in docs sharing an n-gram — fine as
+    an oracle/verification query, NOT as a product op at corpus scale.
+    The scale path passes `candidates` (id_a, id_b — e.g. the output of
+    minhash_lsh_pairs): the gram self-join is then replaced by two
+    semi-restricted joins against the candidate set, linear in
+    |candidates| x doc length."""
     sh = _shingles(F.col(text_col), n, token_shingles=True)
     grams = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("g")).distinct()
     sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("i"))
-    )
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b").distinct()
+        ga = cand.join(grams.withColumnRenamed("id", "id_a"), "id_a")
+        inter = (
+            ga.join(
+                grams.select(F.col("id").alias("id_b"), F.col("g")),
+                ["id_b", "g"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        a, b = grams.alias("a"), grams.alias("b")
+        inter = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("i"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     return (

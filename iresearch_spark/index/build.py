@@ -353,168 +353,3 @@ def term_stats_from_packed(packed: DataFrame) -> DataFrame:
         F.sum("doc_count").cast("long").alias("doc_freq"),
         F.sum("sum_tf").cast("long").alias("total_tf"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Deterministic docID assignment + inversion
-# ---------------------------------------------------------------------------
-
-def assign_doc_ids(
-    df: DataFrame,
-    key_cols: list[str],
-    out_col: str = "doc_id",
-    start: int = 1,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Dense deterministic ids = `start` + global rank by key_cols.
-
-    Equivalent to ``row_number() OVER (ORDER BY key_cols)`` but scalable: the
-    global ORDER BY window would execute in ONE task. Here: range-partition
-    on the key, count rows per partition (a tiny aggregate), prefix-sum the
-    counts on the driver, and add the per-partition base to a
-    partition-local row_number. Deterministic for unique keys regardless of
-    sampling boundaries (reference parity: per-segment dense insertion-order
-    doc_id_t, core/utils/type_limits.hpp:39-50).
-    """
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    keyed = df.repartitionByRange(n_part, *key_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    keyed = keyed.persist()
-    counts = dict(
-        (r["_pid"], r["cnt"])
-        for r in keyed.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    bases, acc = {}, start
-    for pid in sorted(counts):
-        bases[pid] = acc
-        acc += counts[pid]
-    base_map = F.create_map(
-        *[F.lit(x) for kv in sorted(bases.items()) for x in kv]
-    )
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
-    out = keyed.withColumn(
-        out_col,
-        (F.row_number().over(w) - 1 + base_map[F.col("_pid")]).cast("long"),
-    ).drop("_pid")
-    return out
-
-
-
-def invert(
-    docs: DataFrame,
-    text_col: str = "content",
-    doc_id_col: str = "doc_id",
-    analyzer: Analyzer | None = None,
-    with_positions: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """docs -> (postings_flat, doclen).
-
-    postings_flat: (doc_id, term, tf, positions array<int>|absent)
-    doclen:        (doc_id, len)   [len = emitted-token count, Norm2
-                   semantics, reference core/index/norm.hpp:75-125]
-    """
-    analyzer = analyzer or TextAnalyzer()
-    # attach dl (emitted-token count) BEFORE the explode: it rides along to
-    # every posting, so packing never joins a doclen table — at cluster
-    # scale that join would shuffle the whole postings set per build.
-    raw = docs.select(
-        F.col(doc_id_col).alias("doc_id"),
-        analyzer.raw_tokens(F.col(text_col)).alias("_raw"),
-    )
-    raw = raw.withColumn(
-        "dl", F.size(F.filter("_raw", lambda t: analyzer.keep(t))).cast("int")
-    )
-    toks = raw.select(
-        "doc_id", "dl", F.posexplode("_raw").alias("pos", "term")
-    ).where(analyzer.keep(F.col("term")))
-    if with_positions:
-        flat = toks.groupBy("doc_id", "dl", "term").agg(
-            F.count("*").cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-    else:
-        flat = toks.groupBy("doc_id", "dl", "term").agg(
-            F.count("*").cast("int").alias("tf")
-        )
-    # doclen derived from flat (callers persist flat); docs with zero
-    # emitted tokens have no postings and no doclen row — docs_with_field
-    # semantics, matching the reference's norms column
-    doclen = flat.groupBy("doc_id").agg(F.max("dl").cast("int").alias("len"))
-    return flat, doclen
-
-
-
-FLAT_INVERT_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("dl", IntegerType()),
-        StructField("term", StringType()),
-        StructField("tf", IntegerType()),
-        StructField("positions", ArrayType(IntegerType())),
-    ]
-)
-
-
-def invert_arrow(
-    docs: DataFrame,
-    text_col: str = "content",
-    doc_id_col: str = "doc_id",
-    analyzer: TextAnalyzer | None = None,
-    with_positions: bool = True,
-) -> DataFrame:
-    """Map-side inversion: one mapInPandas pass produces per-(doc, term)
-    postings directly — no explode, no (doc, term) shuffle. This is the
-    reference's in-memory inversion loop (core/index/field_data.cpp:985-1080,
-    token stream -> per-term positions) run per Arrow batch; the per-segment
-    postings hash becomes a per-document dict.
-
-    Only valid for TextAnalyzer-family analyzers (regex split + stopword
-    set); exotic analyzers go through the declarative invert()."""
-    analyzer = analyzer or TextAnalyzer()
-    assert isinstance(analyzer, TextAnalyzer), "invert_arrow requires TextAnalyzer"
-    import re as _re
-
-    delim = analyzer.delim_regex
-    lowercase = analyzer.lowercase
-    stops = frozenset(analyzer.stopwords)
-
-    def kernel(batches):
-        rx = _re.compile(delim)
-        for pdf in batches:
-            out_doc, out_dl, out_term, out_tf, out_pos = [], [], [], [], []
-            for doc_id, content in zip(pdf[doc_id_col], pdf[text_col]):
-                if content is None:
-                    continue
-                toks = rx.split(content.lower() if lowercase else content)
-                acc = {}
-                pos = 0
-                for t in toks:
-                    if not t:
-                        continue
-                    if t in stops:
-                        pos += 1
-                        continue
-                    acc.setdefault(t, []).append(pos)
-                    pos += 1
-                dl = sum(len(v) for v in acc.values())
-                for term, ps in acc.items():
-                    out_doc.append(doc_id)
-                    out_dl.append(dl)
-                    out_term.append(term)
-                    out_tf.append(len(ps))
-                    out_pos.append(ps if with_positions else None)
-            if out_doc:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": out_doc,
-                        "dl": out_dl,
-                        "term": out_term,
-                        "tf": out_tf,
-                        "positions": out_pos,
-                    }
-                )
-
-    return docs.select(doc_id_col, text_col).mapInPandas(kernel, FLAT_INVERT_SCHEMA)
-
-

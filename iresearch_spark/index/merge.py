@@ -97,10 +97,13 @@ def build_doc_map(
     base-id assignment). With tombstones: dense renumbering of live docs in
     (member order, old id) order via partition-local window — every group
     is one segment, so the window never sees more than one segment's rows.
+
+    The doc universe is docmap (ALL assigned ids, including zero-token
+    docs) — spacing by docs-with-field would collide gdoc ranges (see
+    SegmentMeta.docs_total).
     """
     order = {s: i for i, s in enumerate(seg_names)}
-    doclen = store.read_union(spark, "doclen", seg_names)
-    docs = doclen.select("segment", "doc_id")
+    docs = store.read_union(spark, "docmap", seg_names).select("segment", "doc_id")
     if tombstones is not None:
         docs = docs.join(tombstones, ["segment", "doc_id"], "left_anti")
         # dense renumber: count live per segment -> driver prefix sums
@@ -146,6 +149,12 @@ def merge_segments(
     by_name = {s.name: s for s in manifest.segments}
     assert all(s in by_name for s in seg_names), "unknown segment in merge set"
     seg_names = sorted(seg_names, key=lambda s: manifest.segments.index(by_name[s]))
+
+    if tombstones is None:  # default: apply the store's live-delete mask
+        dels = store.read_deletes(spark)
+        if dels is not None:
+            dels = dels.where(F.col("segment").isin(seg_names))
+            tombstones = dels if dels.limit(1).count() else None
 
     blocks = store.read_union(spark, "postings", seg_names)
     with_positions = "pos_bin" in blocks.columns
@@ -197,6 +206,7 @@ def merge_segments(
         sum_len=int(agg["s"]),
         bytes=store.dir_bytes(new_name),
         created_at=_time.time(),
+        docs_total=doc_map.count(),  # live ids spanned (incl. zero-token docs)
     )
     flat.unpersist()
     doc_map.unpersist()
@@ -206,6 +216,8 @@ def merge_segments(
         kept = [s for s in m.segments if s.name not in seg_names and s.name != new_name]
         m.segments = kept + [meta]
         m.gen += 1
+        # merged members' tombstones were applied physically above
+        store.rewrite_deletes_after_merge(spark, m, seg_names)
         store.commit(m)
     return meta
 

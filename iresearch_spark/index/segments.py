@@ -40,7 +40,6 @@ from iresearch_spark.analysis.analyzers import Analyzer, TextAnalyzer
 from iresearch_spark.index.build import (
     assign_doc_ids,
     invert,
-    invert_arrow,
     pack_postings,
     term_stats_from_packed,
 )
@@ -51,11 +50,22 @@ TABLES = ("postings", "doclen", "term_stats", "docmap", "lineage")
 @dataclass
 class SegmentMeta:
     name: str
-    docs_count: int
+    docs_count: int  # docs WITH the indexed field (len > 0): stats/idf/avgdl
     sum_len: int
     base_doc: int = 0
     bytes: int = 0
     created_at: float = 0.0
+    # Total assigned docID range (input row count incl. zero-token docs).
+    # base_doc spacing and merge remapping MUST use this, not docs_count:
+    # ids are dense over ALL input rows, so spacing by docs_count would
+    # overlap gdoc ranges whenever a doc emits no tokens (empty file,
+    # all-stopword content). Reference parity: merge bases are spaced by
+    # total segment doc count (core/index/merge_writer.cpp:1527-1571).
+    docs_total: int = 0
+
+    @property
+    def doc_span(self) -> int:
+        return self.docs_total or self.docs_count
 
     def to_dict(self) -> dict:
         return self.__dict__.copy()
@@ -70,6 +80,11 @@ class Manifest:
     gen: int
     segments: list[SegmentMeta] = field(default_factory=list)
     analyzer: str = "text"
+    # generation of the live-delete (tombstone) table under root/deletes/,
+    # or None when nothing is deleted. Reference: queued removals become a
+    # per-segment document mask applied at query time and physically
+    # dropped at merge (core/index/index_writer.hpp:381-416).
+    deletes_gen: int | None = None
 
     @property
     def docs_count(self) -> int:
@@ -108,6 +123,7 @@ class IndexStore:
             gen=d["gen"],
             segments=[SegmentMeta.from_dict(s) for s in d["segments"]],
             analyzer=d.get("analyzer", "text"),
+            deletes_gen=d.get("deletes_gen"),
         )
 
     def commit(self, manifest: Manifest) -> None:
@@ -119,7 +135,7 @@ class IndexStore:
         base = 0
         for s in manifest.segments:
             s.base_doc = base
-            base += s.docs_count
+            base += s.doc_span
         path = self._manifest_path(manifest.gen)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -127,6 +143,7 @@ class IndexStore:
                 {
                     "gen": manifest.gen,
                     "analyzer": manifest.analyzer,
+                    "deletes_gen": manifest.deletes_gen,
                     "segments": [s.to_dict() for s in manifest.segments],
                 },
                 f,
@@ -167,6 +184,64 @@ class IndexStore:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    # -- live deletes (tombstones) -------------------------------------------
+
+    def deletes_path(self, gen: int) -> str:
+        return os.path.join(self.root, "deletes", f"gen-{gen}")
+
+    def read_deletes(self, spark: SparkSession):
+        """Current tombstone table (segment, doc_id) or None."""
+        m = self.current()
+        if m.deletes_gen is None:
+            return None
+        return spark.read.parquet(self.deletes_path(m.deletes_gen))
+
+    def remove(self, spark: SparkSession, condemned: DataFrame) -> Manifest:
+        """Queue live deletes: `condemned` = (segment, doc_id) rows. Merged
+        with any existing tombstones and committed as a new generation —
+        the query-time mask analogue of IndexWriter::Remove(filter)
+        (core/index/index_writer.hpp:381-416). Deleted docs stay in the
+        stats (idf/avgdl) until a merge physically drops them, matching
+        the reference's mask-until-consolidation semantics."""
+        m = self.current()
+        live_segs = [s.name for s in m.segments]
+        dels = condemned.select("segment", "doc_id").where(
+            F.col("segment").isin(live_segs)
+        )
+        existing = self.read_deletes(spark)
+        if existing is not None:
+            dels = dels.unionByName(existing.select("segment", "doc_id"))
+        new_gen = m.gen + 1
+        dels.distinct().coalesce(1).write.mode("overwrite").parquet(
+            self.deletes_path(new_gen)
+        )
+        m.gen = new_gen
+        m.deletes_gen = new_gen
+        self.commit(m)
+        return m
+
+    def rewrite_deletes_after_merge(
+        self, spark: SparkSession, manifest: Manifest, merged_away: list[str]
+    ) -> None:
+        """Drop tombstones belonging to segments that a merge just removed
+        (the merge applied them physically). Mutates `manifest` in place —
+        call AFTER bumping manifest.gen, BEFORE commit()."""
+        existing = (
+            spark.read.parquet(self.deletes_path(manifest.deletes_gen))
+            if manifest.deletes_gen is not None
+            else None
+        )
+        if existing is None:
+            return
+        remaining = existing.where(~F.col("segment").isin(merged_away))
+        if remaining.limit(1).count() == 0:
+            manifest.deletes_gen = None
+            return
+        remaining.coalesce(1).write.mode("overwrite").parquet(
+            self.deletes_path(manifest.gen)
+        )
+        manifest.deletes_gen = manifest.gen
 
     def dir_bytes(self, seg: str) -> int:
         total = 0
@@ -265,8 +340,12 @@ def build_segment(
     ).write.mode("overwrite").parquet(store.seg_path(seg_name, "lineage"))
 
     agg = (
-        store.read(spark, seg_name, "doclen")
-        .agg(F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s"))
+        store.read(spark, seg_name, "docmap")
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("len") > 0, 1)).alias("n"),
+            F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
+        )
         .collect()[0]
     )
     meta = SegmentMeta(
@@ -275,6 +354,7 @@ def build_segment(
         sum_len=int(agg["s"]),
         bytes=store.dir_bytes(seg_name),
         created_at=time.time(),
+        docs_total=int(agg["total"]),
     )
     docs.unpersist()
 

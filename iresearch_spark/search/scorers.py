@@ -44,6 +44,7 @@ class FieldStats:
 
 class Scorer:
     name = "base"
+    dtype = np.float32
 
     def idf(self, n_docs_with_term: int, field: FieldStats) -> float:
         raise NotImplementedError
@@ -91,6 +92,8 @@ class TFIDF(Scorer):
 class TermScorer:
     """Per-(query-term) compiled scorer: vectorized over posting arrays."""
 
+    dtype = np.float32
+
     def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
@@ -99,8 +102,17 @@ class TermScorer:
         evaluated through the same formula — monotone in tf, anti-monotone
         in dl, so (max_tf, min_dl) dominates the block)."""
         return float(
-            self.scores(np.asarray([max_tf], np.float32), np.asarray([min_dl], np.float32))[0]
+            self.scores(
+                np.asarray([max_tf], self.dtype), np.asarray([min_dl], self.dtype)
+            )[0]
         )
+
+    def term_ub(self) -> float:
+        """Whole-list upper bound (tf -> inf limit), used as the "other
+        legs" contribution in boolean block-max pruning (reference
+        UpperBounds.tail, core/search/score.hpp:33-62). inf disables
+        pruning for scorers with no closed-form bound (TFIDF)."""
+        return float("inf")
 
 
 @dataclass(frozen=True)
@@ -114,6 +126,9 @@ class BM25TermScorer(TermScorer):
         c1 = F32(self.c1_base) + F32(self.c1_slope) * dls.astype(np.float32, copy=False)
         c0 = F32(self.c0)
         return (c0 - c0 * c1 / (c1 + tf)).astype(np.float32, copy=False)
+
+    def term_ub(self) -> float:
+        return float(F32(self.c0))  # tf -> inf: score -> c0
 
 
 @dataclass(frozen=True)
@@ -138,6 +153,107 @@ class ConstTermScorer(TermScorer):
     def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
         return np.full(tfs.shape, F32(self.c0), dtype=np.float32)
 
+    def term_ub(self) -> float:
+        return float(F32(self.c0))
+
+
+# ---------------------------------------------------------------------------
+# Precise (float64) scorer family — the driver-gate mode.
+#
+# The correctness gate compares the engine against a DuckDB oracle that
+# evaluates BM25/TFIDF in IEEE doubles (plans/parity.py SCORE_EXPR). These
+# scorers replicate the oracle's EXACT float64 expression tree (same
+# literals, same association order), so engine scores and oracle scores are
+# bit-identical per leg; kSum leg summation order may differ, absorbed by
+# the shared 6-dp rounding applied before ordering/compare (VERDICT r1 §1:
+# "or run the gate kernel in float64"). Rank semantics for the product path
+# stay float32 (reference score_t parity); precise mode exists so the gate
+# can execute the REAL packed-index path end-to-end.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PreciseBM25(Scorer):
+    """float64 BM25 matching parity SCORE_EXPR:
+    idf * ((k+1)*tf) / (k*((1-b) + (b*dl)/avgdl) + tf),
+    idf = ln(1 + (N - n + 0.5)/(n + 0.5))."""
+
+    k: float = 1.2
+    b: float = 0.75
+    name: str = "bm25_precise"
+    dtype = np.float64
+
+    def idf(self, n: int, field: FieldStats) -> float:
+        return math.log1p((field.docs_count - n + 0.5) / (n + 0.5))
+
+    def prepare(self, field: FieldStats, doc_freq: int, boost: float = 1.0) -> "TermScorer":
+        idf = self.idf(doc_freq, field)
+        if self.k == 0.0:
+            return PreciseConstTermScorer(boost * idf)
+        return PreciseBM25TermScorer(
+            idf=boost * idf, k=self.k, b=self.b, avg_dl=field.avg_dl
+        )
+
+
+@dataclass(frozen=True)
+class PreciseTFIDF(Scorer):
+    with_norms: bool = False
+    name: str = "tfidf_precise"
+    dtype = np.float64
+
+    def idf(self, n: int, field: FieldStats) -> float:
+        return math.log1p((field.docs_count + 1.0) / (n + 1.0))
+
+    def prepare(self, field: FieldStats, doc_freq: int, boost: float = 1.0) -> "TermScorer":
+        return PreciseTFIDFTermScorer(
+            idf=boost * self.idf(doc_freq, field), with_norms=self.with_norms
+        )
+
+
+@dataclass(frozen=True)
+class PreciseBM25TermScorer(TermScorer):
+    idf: float
+    k: float
+    b: float
+    avg_dl: float
+    dtype = np.float64
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64, copy=False)
+        dl = dls.astype(np.float64, copy=False)
+        # exact parity association: idf * ((k+1)*tf) / (k*((1-b) + (b*dl)/avgdl) + tf)
+        num = self.idf * ((self.k + 1.0) * tf)
+        den = self.k * ((1.0 - self.b) + (self.b * dl) / self.avg_dl) + tf
+        return num / den
+
+    def term_ub(self) -> float:
+        return self.idf * (self.k + 1.0)
+
+
+@dataclass(frozen=True)
+class PreciseTFIDFTermScorer(TermScorer):
+    idf: float
+    with_norms: bool = False
+    dtype = np.float64
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        out = self.idf * np.sqrt(tfs.astype(np.float64, copy=False))
+        if self.with_norms:
+            out = out / np.sqrt(dls.astype(np.float64, copy=False))
+        return out
+
+
+@dataclass(frozen=True)
+class PreciseConstTermScorer(TermScorer):
+    c0: float
+    dtype = np.float64
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        return np.full(tfs.shape, self.c0, dtype=np.float64)
+
+    def term_ub(self) -> float:
+        return self.c0
+
 
 _SCORERS = {
     "bm25": lambda **kw: BM25(**kw),
@@ -145,6 +261,8 @@ _SCORERS = {
     "bm11": lambda **kw: BM25(b=1.0, **{k: v for k, v in kw.items() if k != "b"}),
     "bm1": lambda **kw: BM25(k=0.0, **{k: v for k, v in kw.items() if k != "k"}),
     "tfidf": lambda **kw: TFIDF(**kw),
+    "bm25_precise": lambda **kw: PreciseBM25(**kw),
+    "tfidf_precise": lambda **kw: PreciseTFIDF(**kw),
 }
 
 
