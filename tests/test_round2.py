@@ -1,0 +1,243 @@
+"""Round-2 regression/property tests:
+
+- WAND == exhaustive for BOOLEAN nodes (And/Or/MinMatch) and for the
+  const-scorer BM1 on a tie-heavy fixture (reference wand_test.cpp:161-240
+  across scorers; r1 VERDICT wrong-2: `<=` skip dropped tie-break winners)
+- zero-token docs must not collide gdoc ranges across segments
+  (SegmentMeta.docs_total spacing — r1 ADVICE high)
+- live deletes: query-time tombstone mask, stats unchanged, merge cleans
+- SamePosition positional operator
+- precise (float64) scorer mode matches an independent double oracle
+- the driver gate's term query physically scans the packed postings
+  parquet (pins that CORRECTNESS rows execute the engine)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from iresearch_spark.index.merge import merge_segments
+from iresearch_spark.index.segments import IndexStore, build_segment
+from iresearch_spark.search import (
+    And,
+    Not,
+    Or,
+    SamePosition,
+    SearchEngine,
+    Term,
+    get_scorer,
+)
+from tests import oracle
+
+
+def _pairs(df):
+    return [(r["gdoc"], r["score"]) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# Tie-heavy corpus: many docs with IDENTICAL (tf, dl) for the query terms so
+# float32 scores tie exactly across blocks/partitions; (score desc, gdoc asc)
+# then hinges entirely on the tie-break, which `<=` pruning used to break.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tie_engine(spark, tmp_path_factory):
+    rows = []
+    # 600 docs, 5 shapes cycling -> ~120 exact score ties per shape,
+    # spanning multiple 128-doc blocks
+    for i in range(600):
+        shape = i % 5
+        body = ("alpha " * (1 + shape) + "beta " + "filler " * (3 + shape)).strip()
+        rows.append(("r", f"p{i:04d}", "c", "py", body))
+    docs = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    store = IndexStore(str(tmp_path_factory.mktemp("tieix")))
+    build_segment(spark, store, docs, "t0")
+    return store
+
+
+@pytest.mark.parametrize("scorer_name", ["bm25", "bm15", "bm1", "tfidf"])
+@pytest.mark.parametrize("k", [1, 7, 50])
+def test_wand_equals_exhaustive_on_ties(spark, tie_engine, scorer_name, k):
+    eng = SearchEngine(spark, tie_engine, scorer=get_scorer(scorer_name))
+    for node in (
+        Term("alpha"),
+        Or((Term("alpha"), Term("beta"))),
+        And((Term("alpha"), Term("beta"))),
+        Or((Term("alpha"), Term("beta"), Term("filler")), min_match=2),
+    ):
+        wand = _pairs(eng.topk(node, k, wand=True))
+        full = _pairs(eng.topk(node, k, wand=False))
+        assert wand == full, (scorer_name, k, node)
+
+
+def test_bm1_wand_returns_smallest_gdocs(spark, tie_engine):
+    # constant scorer: every score identical -> top-k must be the k smallest
+    # gdocs containing the term (pure tie-break ordering)
+    eng = SearchEngine(spark, tie_engine, scorer=get_scorer("bm1"))
+    got = [g for g, _ in _pairs(eng.topk(Term("alpha"), 10, wand=True))]
+    universe = sorted(
+        r["gdoc"] for r in eng.execute(Term("alpha")).select("gdoc").collect()
+    )
+    assert got == universe[:10]
+
+
+# ---------------------------------------------------------------------------
+# Zero-token docs: docID spacing must use total assigned ids
+# ---------------------------------------------------------------------------
+
+
+def test_zero_token_docs_do_not_collide_across_segments(spark, tmp_path_factory):
+    store = IndexStore(str(tmp_path_factory.mktemp("ztix")))
+    # seg A: last docs are all-stopword / empty -> docs_count < docs_total
+    rows_a = [("r", f"a{i}", "c", "py", "alpha beta") for i in range(5)]
+    rows_a += [("r", f"zz{i}", "c", "py", "the and of") for i in range(3)]  # 0 tokens kept
+    docs_a = spark.createDataFrame(rows_a, "repo string, path string, commit string, lang string, content string")
+    build_segment(spark, store, docs_a, "segA")
+    rows_b = [("r", f"b{i}", "c", "py", "gamma delta") for i in range(4)]
+    docs_b = spark.createDataFrame(rows_b, "repo string, path string, commit string, lang string, content string")
+    build_segment(spark, store, docs_b, "segB")
+
+    m = store.current()
+    a = next(s for s in m.segments if s.name == "segA")
+    b = next(s for s in m.segments if s.name == "segB")
+    assert a.docs_total == 8 and a.docs_count == 5
+    assert b.base_doc == a.base_doc + a.docs_total  # spacing by TOTAL ids
+
+    eng = SearchEngine(spark, store)
+    ga = {r["gdoc"] for r in eng.execute(Term("alpha")).collect()}
+    gb = {r["gdoc"] for r in eng.execute(Term("gamma")).collect()}
+    assert not (ga & gb)
+    # doc universe covers every assigned id exactly once
+    uni = [r["gdoc"] for r in eng.doc_universe().collect()]
+    assert len(uni) == len(set(uni)) == 12
+
+    # merge keeps postings disjoint and equals a from-scratch build ordering
+    merge_segments(spark, store, ["segA", "segB"], "segM")
+    eng2 = SearchEngine(spark, IndexStore(store.root))
+    ga2 = {r["gdoc"] for r in eng2.execute(Term("alpha")).collect()}
+    gb2 = {r["gdoc"] for r in eng2.execute(Term("gamma")).collect()}
+    assert len(ga2) == 5 and len(gb2) == 4 and not (ga2 & gb2)
+
+
+# ---------------------------------------------------------------------------
+# Live deletes (tombstone mask)
+# ---------------------------------------------------------------------------
+
+
+def test_live_delete_then_merge_cleans(spark, tmp_path_factory):
+    store = IndexStore(str(tmp_path_factory.mktemp("delix")))
+    rows = [("r", f"p{i:03d}", "c", "py", f"alpha tok{i} beta") for i in range(40)]
+    docs = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    build_segment(spark, store, docs, "s0")
+
+    eng = SearchEngine(spark, store)
+    before = {r["gdoc"] for r in eng.execute(Term("alpha")).collect()}
+    assert len(before) == 40
+    victims = sorted(before)[:7]
+    store.remove(
+        spark,
+        spark.createDataFrame([("s0", int(g)) for g in victims], "segment string, doc_id long"),
+    )
+
+    eng = SearchEngine(spark, store)  # reopen at new generation
+    after = {r["gdoc"] for r in eng.execute(Term("alpha")).collect()}
+    assert after == before - set(victims)
+    # topk (WAND and exhaustive) both honor the mask
+    got_w = [g for g, _ in _pairs(eng.topk(Term("alpha"), 50, wand=True))]
+    got_f = [g for g, _ in _pairs(eng.topk(Term("alpha"), 50, wand=False))]
+    assert set(got_w) == after and got_w == got_f
+    # stats unchanged until merge (reference mask-until-consolidation)
+    assert eng.field.docs_count == 40
+    # doc universe masked
+    assert {r["gdoc"] for r in eng.doc_universe().collect()} == after
+
+    merge_segments(spark, store, ["s0"], "s0m")
+    m = store.current()
+    assert m.deletes_gen is None  # physically applied
+    eng3 = SearchEngine(spark, store)
+    assert eng3.tombstones is None
+    assert eng3.field.docs_count == 33
+    assert eng3.execute(Term("alpha")).count() == 33
+
+
+# ---------------------------------------------------------------------------
+# SamePosition
+# ---------------------------------------------------------------------------
+
+
+def test_same_position(spark, tmp_path_factory):
+    store = IndexStore(str(tmp_path_factory.mktemp("spix")))
+    rows = [
+        ("r", "p0", "c", "py", "alpha beta alpha"),
+        ("r", "p1", "c", "py", "beta beta"),
+        ("r", "p2", "c", "py", "gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    build_segment(spark, store, docs, "s0")
+    eng = SearchEngine(spark, store)
+    # identical-term same-position: matches docs containing the term
+    hits = sorted(r["gdoc"] for r in eng.execute(SamePosition(("alpha", "alpha"))).collect())
+    assert len(hits) == 1
+    # distinct terms can never share a position with this analyzer
+    assert eng.execute(SamePosition(("alpha", "beta"))).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Precise (float64) scorer mode vs an independent double oracle
+# ---------------------------------------------------------------------------
+
+
+def test_precise_mode_matches_double_oracle(spark, tmp_path_factory):
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.search.scorers import PreciseBM25
+
+    corpus = generate_corpus(spark, 120, seed=11).persist()
+    store = IndexStore(str(tmp_path_factory.mktemp("precix")))
+    build_segment(spark, store, corpus, "s0")
+    rows = corpus.select("repo", "path", "commit", "content").collect()
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    from iresearch_spark.analysis.analyzers import DEFAULT_STOPWORDS
+
+    oidx = oracle.build_index(
+        [(i + 1, r["content"]) for i, r in enumerate(rows)], frozenset(DEFAULT_STOPWORDS)
+    )
+    eng = SearchEngine(spark, store, scorer=PreciseBM25())
+    term = max(oidx.postings, key=lambda t: len(oidx.postings[t]))
+    got = _pairs(eng.topk(Term(term), 10))
+
+    # independent float64 oracle with the parity expression tree + 6dp round
+    n, avg = oidx.n_docs, oidx.avg_dl
+    dfq = oidx.doc_freq(term)
+    idf = math.log1p((n - dfq + 0.5) / (dfq + 0.5))
+    exp = {}
+    for doc, tf, _ in oidx.postings[term]:
+        dl = oidx.doclen[doc]
+        raw = idf * (2.2 * tf) / (1.2 * (0.25 + (0.75 * dl) / avg) + tf)
+        exp[doc] = math.floor(raw * 1e6 + 0.5) / 1e6
+    expected = sorted(exp.items(), key=lambda it: (-it[1], it[0]))[:10]
+    assert [(g, s) for g, s in got] == [(d, s) for d, s in expected]
+
+
+# ---------------------------------------------------------------------------
+# Gate executes the engine: plan must scan the packed postings parquet
+# ---------------------------------------------------------------------------
+
+
+def test_gate_term_query_scans_packed_postings(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["term_high"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "postings" in plan, plan  # parquet scan of the packed segment
+    assert "In(term" in plan or "EqualTo(term" in plan, plan
+    assert df.count() == 10
