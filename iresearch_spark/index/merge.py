@@ -226,50 +226,137 @@ def merge_segments(
 # Tiered consolidation policy
 # ---------------------------------------------------------------------------
 
+_TINY = 2.2250738585072014e-308  # smallest positive normal double (DBL_MIN)
+
+
+def _tier_score(
+    count: int,
+    floored_sizes: list[int],
+    size_after: int,
+    size_before: int,
+    segments_per_tier: int,
+    any_removals: bool,
+) -> float:
+    """The reference tier scoring function, re-expressed
+    (core/utils/index_utils.cpp:95-168 `consolidation_score`):
+
+      score = (1 - cv(floored sizes))                 # skew penalty
+            * (count / segments_per_tier)^1.5         # favor full tiers
+            / size_after^0.5                          # prefer small merges
+            / (size_after / size_before)^2            # favor removal cleanup
+
+    where sizes are deletion-discounted byte sizes floored at
+    floor_segment_bytes, size_before uses raw byte sizes. Singletons score
+    effectively-never (DBL_MIN; +epsilon when they carry removals, so a
+    dirty singleton is merged only when nothing better exists)."""
+    if count == 0:
+        return float("-inf")
+    if count == 1:
+        return _TINY * 2 if any_removals else float("-inf")
+    mean = size_after and (sum(floored_sizes) / count)
+    var = sum((f - mean) ** 2 for f in floored_sizes) / count
+    cv = math.sqrt(var) / mean if mean else 0.0
+    score = 1.0 - cv
+    score *= (count / segments_per_tier) ** 1.5
+    score /= size_after**0.5
+    score /= (size_after / size_before) ** 2
+    return score
+
+
 def tier_candidates(
     manifest: Manifest,
-    min_segments: int = 2,
+    live_docs: dict[str, int] | None = None,
+    min_segments: int = 1,
     max_segments: int = 10,
     floor_bytes: int = 2 << 20,
     max_merge_bytes: int = 5 << 30,
+    min_score: float = 0.0,
+    consolidating: frozenset[str] = frozenset(),
 ) -> list[str]:
-    """Pick one merge candidate set (or [] if nothing worth merging).
+    """Pick the best merge candidate set, mirroring the reference tier
+    policy end to end (core/utils/index_utils.cpp:300-470 MakePolicy
+    ConsolidateTier; defaults from index_utils.hpp:73-81):
 
-    Tiered selection in the spirit of the reference's tier policy
-    (index_utils.cpp): bucket segments by log2 of their floored byte size
-    (tiny segments share the floor bucket), and choose the bucket with the
-    most members — merging many similar-sized segments maximizes
-    write-amplification payoff. Respects max_segments / max_merge_bytes.
-    """
-    if len(manifest.segments) < min_segments:
-        return []
-    buckets: dict[int, list[SegmentMeta]] = {}
+    1. drop empty / already-consolidating segments;
+    2. drop "too big" segments (deletion-discounted size >
+       max_merge_bytes/2 with fill factor >= the index average);
+    3. sort by (discounted size asc, fill desc, name asc);
+    4. slide every [i, i+n] window (n <= max_segments, window discounted
+       bytes <= max_merge_bytes), score with `_tier_score`, keep the best
+       above min_score.
+
+    `live_docs` maps segment name -> live doc count (docs minus queued
+    tombstones); defaults to all-live."""
+    live_docs = live_docs or {}
+    stats: list[tuple[str, int, float, int]] = []  # (name, size, fill, raw)
+    total_docs = total_live = 0
     for s in manifest.segments:
-        tier = int(math.log2(max(s.bytes, floor_bytes)))
-        buckets.setdefault(tier, []).append(s)
-    best: list[SegmentMeta] = []
-    for tier, segs in sorted(buckets.items()):
-        if len(segs) >= min_segments and len(segs) > len(best):
-            best = segs
-    if not best:
+        docs = s.doc_span
+        live = live_docs.get(s.name, docs)
+        if live <= 0:
+            continue  # empty segments are dropped by commit, not merged
+        fill = live / docs
+        size = int(s.bytes * fill)
+        total_live += live
+        if s.name in consolidating:
+            total_docs += live  # removals excluded for in-flight segments
+            continue
+        total_docs += docs
+        stats.append((s.name, size, fill, s.bytes))
+    if not total_docs:
         return []
-    best = sorted(best, key=lambda s: s.bytes)[:max_segments]
-    total = 0
-    out = []
-    for s in best:
-        if total + s.bytes > max_merge_bytes and out:
-            break
-        out.append(s.name)
-        total += s.bytes
-    return out if len(out) >= min_segments else []
+    total_fill = total_live / total_docs
+    too_big = max(1, max_merge_bytes) // 2
+    stats = [st for st in stats if not (st[1] > too_big and total_fill <= st[2])]
+    stats.sort(key=lambda st: (st[1], -st[2], st[0]))
+
+    min_segments = max(1, min(min_segments, max(1, max_segments)))
+    max_segments = max(1, max_segments)
+    floor_bytes = max(1, floor_bytes)
+    best_score, best = _TINY, []  # DBL_MIN init: bare singletons never win
+    if len(stats) >= min_segments:
+        for i in range(len(stats)):
+            size_after = size_before = 0
+            floored: list[int] = []
+            any_removals = False
+            for j in range(i, min(i + max_segments, len(stats))):
+                name, size, fill, raw = stats[j]
+                if size_after + size > max_merge_bytes:
+                    break
+                size_after += size
+                size_before += raw
+                floored.append(max(size, floor_bytes))
+                any_removals = any_removals or fill < 1.0
+                count = j - i + 1
+                if count < min_segments:
+                    continue
+                score = _tier_score(
+                    count, floored, size_after, size_before, max_segments, any_removals
+                )
+                if score < min_score:
+                    continue
+                if score > best_score:
+                    best_score = score
+                    best = [st[0] for st in stats[i : j + 1]]
+    return best
 
 
 def consolidate(
     spark: SparkSession, store: IndexStore, new_name: str | None = None, **policy_kw
 ) -> SegmentMeta | None:
-    """One consolidation round: policy -> merge -> commit."""
+    """One consolidation round: policy -> merge -> commit. Queued live
+    deletes feed the policy's fill factors (dirty segments score higher via
+    the removal-cleanup term) and are physically dropped by the merge."""
     m = store.current()
-    cands = tier_candidates(m, **policy_kw)
+    live = None
+    dels = store.read_deletes(spark)
+    if dels is not None:
+        counts = {
+            r["segment"]: r["n"]
+            for r in dels.groupBy("segment").agg(F.count("*").alias("n")).collect()
+        }
+        live = {s.name: s.doc_span - counts.get(s.name, 0) for s in m.segments}
+    cands = tier_candidates(m, live_docs=live, **policy_kw)
     if not cands:
         return None
     name = new_name or f"merged_{m.gen + 1}"

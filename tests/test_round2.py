@@ -241,3 +241,71 @@ def test_gate_term_query_scans_packed_postings(spark):
     assert "postings" in plan, plan  # parquet scan of the packed segment
     assert "In(term" in plan or "EqualTo(term" in plan, plan
     assert df.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Reference tier policy semantics (index_utils.cpp consolidation_score),
+# hand-computed fixtures mirroring consolidation_policy_tests
+# ---------------------------------------------------------------------------
+
+
+def _seg(name, nbytes, docs=100):
+    from iresearch_spark.index.segments import SegmentMeta
+
+    return SegmentMeta(name=name, docs_count=docs, sum_len=docs, bytes=nbytes, docs_total=docs)
+
+
+def test_tier_equal_sizes_merge_all():
+    from iresearch_spark.index.merge import tier_candidates
+    from iresearch_spark.index.segments import Manifest
+
+    MB = 1 << 20
+    m = Manifest(gen=1, segments=[_seg(f"s{i}", 10 * MB) for i in range(4)])
+    assert tier_candidates(m) == ["s0", "s1", "s2", "s3"]
+
+
+def test_tier_skew_excludes_outlier():
+    from iresearch_spark.index.merge import tier_candidates
+    from iresearch_spark.index.segments import Manifest
+
+    MB = 1 << 20
+    m = Manifest(
+        gen=1,
+        segments=[_seg("a", 10 * MB), _seg("b", 10 * MB), _seg("c", 10 * MB), _seg("huge", 200 * MB)],
+    )
+    # the CV term rejects windows mixing 10MB with 200MB
+    assert tier_candidates(m) == ["a", "b", "c"]
+
+
+def test_tier_prefers_removal_cleanup():
+    from iresearch_spark.index.merge import tier_candidates
+    from iresearch_spark.index.segments import Manifest
+
+    MB = 1 << 20
+    m = Manifest(
+        gen=1,
+        segments=[_seg("a", 10 * MB), _seg("b", 10 * MB), _seg("c", 10 * MB), _seg("d", 10 * MB)],
+    )
+    # c,d half-deleted: (size_after/size_before)^-2 boosts their window
+    assert tier_candidates(m, live_docs={"c": 50, "d": 50}, max_segments=2) == ["c", "d"]
+
+
+def test_tier_too_big_filter_and_singletons():
+    from iresearch_spark.index.merge import tier_candidates
+    from iresearch_spark.index.segments import Manifest
+
+    MB = 1 << 20
+    m = Manifest(gen=1, segments=[_seg("a", MB), _seg("b", MB), _seg("big", 4 << 30)])
+    assert tier_candidates(m) == ["a", "b"]  # >max/2 & clean -> filtered
+    solo = Manifest(gen=1, segments=[_seg("solo", 10 * MB)])
+    assert tier_candidates(solo) == []  # clean singleton never merges
+    assert tier_candidates(solo, live_docs={"solo": 10}) == ["solo"]  # dirty may
+
+
+def test_tier_floor_smooths_tiny_segments():
+    from iresearch_spark.index.merge import tier_candidates
+    from iresearch_spark.index.segments import Manifest
+
+    m = Manifest(gen=1, segments=[_seg("t1", 100), _seg("t2", 200000)])
+    # both below floor_segment_bytes -> cv computed at the floor -> merge
+    assert tier_candidates(m) == ["t1", "t2"]
