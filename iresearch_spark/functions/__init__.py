@@ -4,6 +4,7 @@ from iresearch_spark.functions.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
 from iresearch_spark.functions.similarity import (  # noqa: F401
     cosine_topk,

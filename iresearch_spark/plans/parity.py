@@ -363,6 +363,64 @@ FROM traw t JOIN base b ON t.doc_id = b.doc_id
 ORDER BY doc_id"""
 
 
+def simhash_pairs_sql(d: str, max_hamming: int = 3, bits: int = 32) -> str:
+    """Oracle twin of functions/dedup.simhash_pairs(hash_fn='md5_32'):
+    32-bit md5-based SimHash over the raw (pre-stopword, multiplicity-
+    preserving) token stream, ALL-PAIRS hamming <= max_hamming. The engine
+    side finds pairs via band buckets; with max_hamming < bands the banding
+    is pigeonhole-complete, so the two sides must agree exactly."""
+    if d == SPARK:
+        h = "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"
+        bitsrc = "(SELECT explode(sequence(0, 31)) AS b)"
+        shl = "shiftleft(CAST(1 AS BIGINT), b)"
+        xorh = "bit_count(a.s ^ b2.s)"
+    else:
+        h = "('0x' || substr(md5(term), 1, 8))::BIGINT"
+        bitsrc = "(SELECT unnest(range(32)) AS b)"
+        shl = "(1::BIGINT << b)"
+        xorh = "bit_count(xor(a.s, b2.s))"
+    return f"""{tok_ctes(d)},
+hashed AS (SELECT doc_id, {h} AS h FROM tokall),
+bitsums AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN {bitsrc} GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN {shl} ELSE 0 END) AS BIGINT) AS s
+  FROM bitsums GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b, CAST({xorh} AS BIGINT) AS hamming
+FROM sim a JOIN sim b2 ON a.doc_id < b2.doc_id
+WHERE {xorh} <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
+def raw_bigram_jaccard_sql(d: str, threshold: float = 0.8) -> str:
+    """Exact token-bigram Jaccard pairs over the RAW token stream
+    (stopwords included — matching functions/dedup._shingles, which the
+    MinHash-LSH and exact-verify paths both shingle with). Oracle for the
+    LSH-verified near-dup entry: the engine computes exact Jaccard only on
+    LSH candidate pairs; equality proves LSH recall = 1 at the threshold."""
+    return f"""{tok_ctes(d)},
+big AS (
+  SELECT DISTINCT t0.doc_id AS doc_id, t0.term || ' ' || t1.term AS bg
+  FROM tokall t0 JOIN tokall t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(floor((i * 1e0 / (sa.n + sb.n - i)) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i * 1e0 / (sa.n + sb.n - i) >= {threshold}e0
+ORDER BY id_a, id_b"""
+
+
 def tfidf_topk(d: str, terms: list[str], with_norms: bool = False, k: int = 10) -> str:
     """TF-IDF scorer (reference core/search/tfidf.cpp:185-187,274-277):
     idf = ln(1 + (N+1)/(n+1)); score = sum(sqrt(tf) * idf [/ sqrt(dl)])."""

@@ -170,13 +170,36 @@ def build_registry() -> dict[str, dict]:
     r["event_window_stats"] = _pair(P.event_window_sql)
 
     # --- engine-backed dedup/ANN (DataFrame ops) ---
-    def _minhash(spark, sf_dir):
-        from iresearch_spark.functions import minhash_lsh_pairs
+    def _minhash_verified(spark, sf_dir):
+        """MinHash-LSH candidates -> exact Jaccard verify >= 0.8. The
+        oracle recomputes all-pairs exact Jaccard at 0.8: equality proves
+        the banded LSH (est >= 0.5, 16 bands x 4 rows) has recall 1 at the
+        verify threshold on this corpus (VERDICT r1 next-8)."""
+        from iresearch_spark.functions import minhash_lsh_pairs, ngram_jaccard_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return minhash_lsh_pairs(docs, shingle=2, threshold=0.5)
+        cands = minhash_lsh_pairs(docs, shingle=2, threshold=0.5)
+        from pyspark.sql import functions as F
+
+        out = ngram_jaccard_pairs(docs, n=2, threshold=0.8, candidates=cands)
+        return out.select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(floor(jaccard * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)").alias("jaccard"),
+        ).orderBy("id_a", "id_b")
+
+    def _simhash_pairs(spark, sf_dir):
+        from iresearch_spark.functions import simhash_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash_pairs(docs).orderBy("id_a", "id_b")
 
     def _lsh_ann(spark, sf_dir):
+        """Rows-only (documented): hyperplane LSH recall on the driver's
+        near-uniform random embeddings is inherently low, so an equality
+        oracle would be dishonest; recall >= floor is asserted in pytest on
+        clustered synthetic embeddings where LSH is applicable
+        (tests/test_round2.py)."""
         from iresearch_spark.functions import hyperplane_lsh_buckets, lsh_cosine_topk
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -185,7 +208,14 @@ def build_registry() -> dict[str, dict]:
         bucketed = hyperplane_lsh_buckets(emb, dim, n_planes=8)
         return lsh_cosine_topk(bucketed, list(q), dim, 10, n_planes=8, multiprobe_bits=2)
 
-    r["minhash_lsh_pairs"] = {"fn": _minhash, "duck": None}
+    r["minhash_lsh_pairs"] = {
+        "fn": _minhash_verified,
+        "duck": P.raw_bigram_jaccard_sql(P.DUCK, threshold=0.8),
+    }
+    r["simhash_pairs"] = {
+        "fn": _simhash_pairs,
+        "duck": P.simhash_pairs_sql(P.DUCK),
+    }
     r["ann_lsh_topk"] = {"fn": _lsh_ann, "duck": None}
     return r
 

@@ -309,3 +309,54 @@ def test_tier_floor_smooths_tiny_segments():
     m = Manifest(gen=1, segments=[_seg("t1", 100), _seg("t2", 200000)])
     # both below floor_segment_bytes -> cv computed at the floor -> merge
     assert tier_candidates(m) == ["t1", "t2"]
+
+
+# ---------------------------------------------------------------------------
+# ANN LSH recall on clustered embeddings (where hyperplane LSH applies);
+# the driver's embeddings are near-uniform random, so the gate keeps that
+# entry rows-only — this is the honest recall evidence.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_lsh_recall_on_clustered_vectors(spark):
+    from iresearch_spark.functions import hyperplane_lsh_buckets, lsh_cosine_topk
+    from iresearch_spark.functions.similarity import cosine_topk
+
+    rng = np.random.default_rng(5)
+    dim, n_clusters, per = 32, 8, 50
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.15 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[3][1]  # a member of cluster 0
+    exact = [r["id"] for r in cosine_topk(emb, q, 10).collect()]
+    bucketed = hyperplane_lsh_buckets(emb, dim, n_planes=10)
+    ann = [
+        r["id"]
+        for r in lsh_cosine_topk(bucketed, q, dim, 10, n_planes=10, multiprobe_bits=2).collect()
+    ]
+    recall = len(set(ann) & set(exact)) / 10
+    assert recall >= 0.9, (recall, ann, exact)
+
+
+def test_simhash_banding_is_pigeonhole_complete(spark):
+    """simhash_pairs banded candidates == brute-force hamming pairs."""
+    from iresearch_spark.functions import simhash, simhash_pairs
+
+    rows = [(i, f"alpha beta w{i % 9} gamma delta t{i % 4}") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs).collect()}
+    sk = {r["id"]: r["simhash"] for r in simhash(docs, bits=32, hash_fn="md5_32").collect()}
+    ids = sorted(sk)
+    exp = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sk[a] ^ sk[b]).count("1") <= 3
+    }
+    assert got == exp
