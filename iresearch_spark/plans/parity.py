@@ -86,10 +86,12 @@ def bm25_topk(
     require_all: bool = False,
     exclude_terms: list[str] | None = None,
     k: int = 10,
+    merge: str = "sum",
 ) -> str:
     """Disjunction/conjunction/min-match BM25 top-k over exact terms or a
     term predicate (prefix/wildcard/range/fuzzy expansion, scored per
-    matched term and kSum-merged — multiterm OR-expansion semantics)."""
+    matched term and merged kSum/kMax/kMin — reference ScoreMergeType,
+    core/search/scorer.hpp:224-236)."""
     # require_all = conjunction: need ALL query terms (a term absent from
     # the corpus makes the And empty — reference empty propagation,
     # boolean_filter.cpp:146-148; r1 VERDICT wrong-5 fixed: counting only
@@ -101,10 +103,11 @@ def bm25_topk(
         excl = (
             f" AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN {_terms_in(exclude_terms)})"
         )
+    agg = {"sum": "SUM", "max": "MAX", "min": "MIN"}[merge]
     return f"""{tok_ctes(d)},
 hits AS (
   SELECT tf.doc_id AS doc_id,
-         SUM({SCORE_EXPR}) AS raw_score,
+         {agg}({SCORE_EXPR}) AS raw_score,
          CAST(count(*) AS BIGINT) AS n_terms
   FROM tf
   JOIN df ON tf.term = df.term

@@ -90,6 +90,15 @@ def build_registry() -> dict[str, dict]:
         lambda: Or((Term(HIGH), Term(MED), Term("table"), Term("hash")), min_match=2),
         P.bm25_topk(P.DUCK, terms=[HIGH, MED, "table", "hash"], min_match=2),
     )
+    # kMax / kMin score merge (reference ScoreMergeType kMax/kMin)
+    r["or_kmax_high_med"] = _eng(
+        lambda: Or((Term(HIGH), Term(MED)), merge="max"),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED], merge="max"),
+    )
+    r["or_kmin_high_med"] = _eng(
+        lambda: Or((Term(HIGH), Term(MED)), merge="min"),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED], merge="min"),
+    )
     r["not_high_minus_med"] = _eng(
         lambda: And((Term(HIGH), Not(child=Term(MED)))),
         P.bm25_topk(P.DUCK, terms=[HIGH], exclude_terms=[MED]),

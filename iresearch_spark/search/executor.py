@@ -149,6 +149,7 @@ def _topk_sums_kernel(
     k: int | None,
     min_match: int,
     const_add: float,
+    merge: str,
     mode: str,
     deleted: np.ndarray | None,
     grouped: bool,
@@ -189,7 +190,12 @@ def _topk_sums_kernel(
                 bounds = np.flatnonzero(
                     np.concatenate(([True], docs[1:] != docs[:-1]))
                 )
-                sums = np.add.reduceat(scores, bounds)
+                reducer = {
+                    "sum": np.add,
+                    "max": np.maximum,
+                    "min": np.minimum,
+                }[merge]
+                sums = reducer.reduceat(scores, bounds)
                 counts = np.diff(np.concatenate((bounds, [docs.size]))).astype(
                     np.int64
                 )
@@ -241,11 +247,15 @@ def _topk_sums_kernel(
                 if prune and k is not None:
                     t = threshold()
                     if t is not None:
-                        bound = (
-                            sc.max_score(int(maxtf[i]), int(mindl[i]))
-                            + other_ub[term]
-                            + const_add
-                        )
+                        blk = sc.max_score(int(maxtf[i]), int(mindl[i]))
+                        if merge == "sum":
+                            # doc total <= this leg's block bound + every
+                            # other leg's whole-list bound
+                            bound = blk + other_ub[term] + const_add
+                        elif merge == "max":
+                            bound = max(blk, other_ub[term]) + const_add
+                        else:  # min: doc present in THIS leg -> min <= blk
+                            bound = blk + const_add
                         if _transform_scalar(mode, bound) < t:
                             continue  # block-max skip (STRICT <)
                 docs = delta_decode(varint_decode(docsb[i])).astype(
@@ -536,6 +546,7 @@ class SearchEngine:
         *,
         min_match: int = 1,
         const_add: float = 0.0,
+        merge: str = "sum",
         k: int | None = None,
         prune: bool = False,
         mode: str | None = None,
@@ -553,12 +564,22 @@ class SearchEngine:
             # single leg: the block's own (max_tf, min_dl) bound suffices —
             # no whole-list bound needed (works for any scorer, incl. TFIDF)
             other_ub = {t: 0.0 for t in scorers}
-        else:
+        elif merge == "sum":
             ubs = {t: sc.term_ub() for t, sc in scorers.items()}
             total_ub = sum(ubs.values())
             other_ub = {t: total_ub - u for t, u in ubs.items()}
             if prune and not np.isfinite(total_ub):
                 prune = False  # no closed-form whole-list bound (e.g. TFIDF)
+        elif merge == "max":
+            ubs = {t: sc.term_ub() for t, sc in scorers.items()}
+            other_ub = {
+                t: max((u for x, u in ubs.items() if x != t), default=float("-inf"))
+                for t in ubs
+            }
+            if prune and not all(np.isfinite(u) for u in ubs.values()):
+                prune = False
+        else:  # min-merge: block-local bound only
+            other_ub = {t: 0.0 for t in scorers}
         grouped = len(scorers) > 1 or min_match > 1
         if grouped:
             n_part = self.spark.sparkContext.defaultParallelism
@@ -580,6 +601,7 @@ class SearchEngine:
             k=k,
             min_match=min_match,
             const_add=const_add,
+            merge=merge,
             mode=mode,
             deleted=self._deleted_arr if self._deleted_inline else None,
             grouped=grouped,
@@ -601,8 +623,8 @@ class SearchEngine:
 
     def _query_spec(
         self, node: Node, boost: float = 1.0
-    ) -> tuple[dict[str, TermScorer], int, float] | None:
-        """(scorers, min_match, const_add) for single-scan query shapes:
+    ) -> tuple[dict[str, TermScorer], int, float, str] | None:
+        """(scorers, min_match, const_add, merge) for single-scan shapes:
         exact/multiterm leaves and flat And/Or of exact terms. None when the
         node needs the general evaluator (phrase legs, nesting, Not)."""
         if isinstance(node, (Term, Terms, Prefix, Wildcard, Fuzzy, Range)):
@@ -612,6 +634,7 @@ class SearchEngine:
                 self._leaf_scorers(expansion, boost * node.boost),
                 min_match,
                 0.0,
+                "sum",
             )
         if (
             isinstance(node, (And, Or))
@@ -628,13 +651,13 @@ class SearchEngine:
             }
             if isinstance(node, And):
                 if len(scorers) < len(node.children):
-                    return {}, 1, 0.0  # absent conjunct -> Empty
+                    return {}, 1, 0.0, "sum"  # absent conjunct -> Empty
                 need = len(node.children)
                 const = node.const_boost * boost
             else:
                 need = node.min_match
                 const = 0.0
-            return scorers, need, const
+            return scorers, need, const, node.merge
         return None
 
     def _leaf_hits(self, leaf: Node, boost: float) -> DataFrame:
@@ -643,7 +666,7 @@ class SearchEngine:
             return self._phrase_hits(leaf, boost)
         spec = self._query_spec(leaf, boost)
         assert spec is not None
-        scorers, min_match, _ = spec
+        scorers, min_match, _, _merge = spec
         if not scorers:
             return self._empty_hits()
         return self._hits_scan(scorers, min_match=min_match).select(
@@ -747,11 +770,11 @@ class SearchEngine:
             return out
         spec = self._query_spec(node, boost)
         if spec is not None:
-            scorers, min_match, const = spec
+            scorers, min_match, const, merge = spec
             if not scorers:
                 return self._empty_hits()
             return self._hits_scan(
-                scorers, min_match=min_match, const_add=const
+                scorers, min_match=min_match, const_add=const, merge=merge
             ).select("gdoc", F.col("score").cast(self._score_t).alias("score"))
         if isinstance(node, (And, Or)):
             poss = list(node.children)
@@ -761,8 +784,9 @@ class SearchEngine:
             u = legs[0]
             for df in legs[1:]:
                 u = u.unionByName(df)
+            agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}[node.merge]
             agg = u.groupBy("gdoc").agg(
-                F.sum("score").alias("_s"), F.count("*").alias("_n")
+                agg_fn("score").alias("_s"), F.count("*").alias("_n")
             )
             need = len(poss) if isinstance(node, And) else node.min_match
             agg = agg.where(F.col("_n") >= need)
@@ -798,7 +822,7 @@ class SearchEngine:
         n = normalize(node)
         spec = self._query_spec(n) if not isinstance(n, (Phrase, SamePosition)) else None
         if spec is not None:
-            scorers, min_match, const = spec
+            scorers, min_match, const, merge = spec
             if not scorers:
                 hits = self._empty_hits()
             else:
@@ -807,6 +831,7 @@ class SearchEngine:
                     scorers,
                     min_match=min_match,
                     const_add=const,
+                    merge=merge,
                     k=k,
                     prune=prune,
                     mode=self.final_mode,

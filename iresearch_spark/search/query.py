@@ -138,9 +138,14 @@ class Not(Node):
 
 @dataclass(frozen=True)
 class And(Node):
+    """Conjunction. `merge` = leg score combination: kSum (default) /
+    kMax / kMin (reference ScoreMergeType, core/search/scorer.hpp:224-236;
+    kNoop = constant-score, expressed as boost-only legs)."""
+
     children: tuple[Node, ...] = ()
     boost: float = 1.0
     const_boost: float = 0.0  # folded All-leg boosts (score addend)
+    merge: str = "sum"  # sum | max | min
 
 
 @dataclass(frozen=True)
@@ -148,6 +153,7 @@ class Or(Node):
     children: tuple[Node, ...] = ()
     min_match: int = 1
     boost: float = 1.0
+    merge: str = "sum"  # sum | max | min
 
 
 def normalize(node: Node) -> Node:
@@ -175,7 +181,12 @@ def normalize(node: Node) -> Node:
             return All(boost=node.boost * (const_boost if const_boost else 1.0))
         if len(scored) == 1 and const_boost == 0.0:
             return _boosted(scored[0], node.boost)
-        return And(children=tuple(scored), boost=node.boost, const_boost=const_boost)
+        return And(
+            children=tuple(scored),
+            boost=node.boost,
+            const_boost=const_boost,
+            merge=node.merge,
+        )
 
     if isinstance(node, Or):
         kids = [normalize(c) for c in node.children if not isinstance(normalize(c), Empty)]
@@ -185,8 +196,8 @@ def normalize(node: Node) -> Node:
         if len(kids) == 1:
             return _boosted(kids[0], node.boost)
         if m == len(kids):
-            return normalize(And(children=tuple(kids), boost=node.boost))
-        return Or(children=tuple(kids), min_match=max(1, m), boost=node.boost)
+            return normalize(And(children=tuple(kids), boost=node.boost, merge=node.merge))
+        return Or(children=tuple(kids), min_match=max(1, m), boost=node.boost, merge=node.merge)
 
     if isinstance(node, Terms):
         if not node.terms:

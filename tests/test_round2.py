@@ -360,3 +360,26 @@ def test_simhash_banding_is_pigeonhole_complete(spark):
         if bin(sk[a] ^ sk[b]).count("1") <= 3
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# kMax / kMin score merge (reference ScoreMergeType, scorer.hpp:224-236)
+# ---------------------------------------------------------------------------
+
+
+def test_kmax_kmin_merge(spark, tie_engine):
+    eng = SearchEngine(spark, tie_engine)
+    a = oracle_scores = None
+    sa = {r["gdoc"]: r["score"] for r in eng.execute(Term("alpha")).collect()}
+    sb = {r["gdoc"]: r["score"] for r in eng.execute(Term("beta")).collect()}
+    for merge, comb in (("max", max), ("min", min)):
+        node = Or((Term("alpha"), Term("beta")), merge=merge)
+        got = _pairs(eng.topk(node, 15, wand=False))
+        exp_all = {}
+        for d in set(sa) | set(sb):
+            legs = [s[d] for s in (sa, sb) if d in s]
+            exp_all[d] = float(np.float32(comb(legs)))
+        exp = sorted(exp_all.items(), key=lambda it: (-it[1], it[0]))[:15]
+        assert got == exp, merge
+        # WAND pruning must not change results under non-sum merges either
+        assert _pairs(eng.topk(node, 15, wand=True)) == got, merge
