@@ -58,6 +58,14 @@ class Analyzer:
     def keep(self, term: Column) -> Column:
         return F.lit(True)
 
+    def map_term(self, term: Column) -> Column:
+        """Per-token transform applied to the EXPLODED term column AFTER
+        the keep() filter (reference text pipeline order: stopword check
+        on the original token, stem afterwards —
+        text_token_stream.cpp:356-421). Default: identity. May be a pandas
+        UDF (it runs on a top-level column, never inside an array lambda)."""
+        return term
+
     def tokens(self, col: Column) -> Column:
         return F.filter(self.raw_tokens(col), lambda t: self.keep(t))
 
@@ -91,6 +99,88 @@ def _arrow_tokenizer(delim_regex: str, lowercase: bool):
     return _ARROW_TOKENIZERS[key]
 
 
+_UDF_CACHE: dict = {}
+
+
+def _stem_udf():
+    """Arrow UDF: Porter-stem a string column, memoized per batch (the
+    stem of a term repeats constantly in real corpora)."""
+    if "stem" not in _UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        from iresearch_spark.analysis.stemmer import porter_stem
+
+        @pandas_udf(StringType())
+        def stem_col(s: pd.Series) -> pd.Series:
+            cache: dict[str, str] = {}
+
+            def one(t):
+                if t is None:
+                    return None
+                out = cache.get(t)
+                if out is None:
+                    out = cache[t] = porter_stem(t)
+                return out
+
+            return s.map(one)
+
+        _UDF_CACHE["stem"] = stem_col
+    return _UDF_CACHE["stem"]
+
+
+def _stem_array_udf():
+    if "stem_arr" not in _UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, StringType
+
+        from iresearch_spark.analysis.stemmer import porter_stem
+
+        @pandas_udf(ArrayType(StringType()))
+        def stem_arr(s: pd.Series) -> pd.Series:
+            cache: dict[str, str] = {}
+
+            def one(arr):
+                if arr is None:
+                    return None
+                out = []
+                for t in arr:
+                    r = cache.get(t)
+                    if r is None:
+                        r = cache[t] = porter_stem(t)
+                    out.append(r)
+                return out
+
+            return s.map(one)
+
+        _UDF_CACHE["stem_arr"] = stem_arr
+    return _UDF_CACHE["stem_arr"]
+
+
+def _accent_fold_udf():
+    """NFKD-decompose + drop combining marks (the `norm`/text analyzer's
+    accent-removal option, text_token_normalizing_stream.cpp)."""
+    if "accent" not in _UDF_CACHE:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        @pandas_udf(StringType())
+        def fold(s: pd.Series) -> pd.Series:
+            def one(t):
+                if t is None:
+                    return None
+                return "".join(
+                    c for c in unicodedata.normalize("NFKD", t) if not unicodedata.combining(c)
+                )
+
+            return s.map(one)
+
+        _UDF_CACHE["accent"] = fold
+    return _UDF_CACHE["accent"]
+
+
 @dataclass(frozen=True)
 class TextAnalyzer(Analyzer):
     """`text` / `segmentation` analyzer subset: lowercase -> regex-delimiter
@@ -110,9 +200,13 @@ class TextAnalyzer(Analyzer):
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
     lowercase: bool = True
     arrow: bool = True
+    stem: bool = False  # Porter stemming stage (analysis/stemmer.py)
+    accent_fold: bool = False  # NFKD accent strip before tokenizing
     name: str = field(default="text", init=False)  # type: ignore[assignment]
 
     def raw_tokens(self, col: Column) -> Column:
+        if self.accent_fold:
+            col = _accent_fold_udf()(col)
         if self.arrow:
             return _arrow_tokenizer(self.delim_regex, self.lowercase)(col)
         base = F.lower(col) if self.lowercase else col
@@ -122,6 +216,17 @@ class TextAnalyzer(Analyzer):
         if not self.stopwords:
             return F.lit(True)
         return ~term.isin(*self.stopwords)
+
+    def map_term(self, term: Column) -> Column:
+        if not self.stem:
+            return term
+        return _stem_udf()(term)
+
+    def tokens(self, col: Column) -> Column:
+        out = F.filter(self.raw_tokens(col), lambda t: self.keep(t))
+        if self.stem:
+            out = _stem_array_udf()(out)
+        return out
 
 
 @dataclass(frozen=True)
@@ -144,17 +249,37 @@ class DelimiterAnalyzer(Analyzer):
 
 @dataclass(frozen=True)
 class NormAnalyzer(Analyzer):
-    """`norm`: case conversion only; whole input is a single token.
+    """`norm`: case conversion + optional accent removal; whole input is a
+    single token.
 
-    Reference: core/analysis/text_token_normalizing_stream.cpp.
+    Reference: core/analysis/text_token_normalizing_stream.cpp (case +
+    accent options).
     """
 
     lowercase: bool = True
+    accent_fold: bool = False
     name: str = field(default="norm", init=False)  # type: ignore[assignment]
 
     def raw_tokens(self, col: Column) -> Column:
+        if self.accent_fold:
+            col = _accent_fold_udf()(col)
         out = F.lower(col) if self.lowercase else col
         return F.array(out)
+
+
+@dataclass(frozen=True)
+class StemAnalyzer(Analyzer):
+    """`stem`: Porter-stem the whole (lowercased) input as one token.
+
+    Reference: core/analysis/text_token_stemming_stream.cpp (Snowball stem
+    of the whole input)."""
+
+    lowercase: bool = True
+    name: str = field(default="stem", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        out = F.lower(col) if self.lowercase else col
+        return _stem_array_udf()(F.array(out))
 
 
 @dataclass(frozen=True)
@@ -242,6 +367,7 @@ _REGISTRY: dict[str, Callable[..., Analyzer]] = {
     "delimiter": DelimiterAnalyzer,
     "multi_delimiter": DelimiterAnalyzer,
     "norm": NormAnalyzer,
+    "stem": StemAnalyzer,
     "identity": StringAnalyzer,
     "ngram": NgramAnalyzer,
     "pipeline": PipelineAnalyzer,

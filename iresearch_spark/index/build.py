@@ -215,6 +215,9 @@ def invert(
     toks = raw.select(
         "doc_id", "dl", F.posexplode("_raw").alias("pos", "term")
     ).where(analyzer.keep(F.col("term")))
+    # post-filter per-token transform (stemming): reference pipeline order
+    # is stopword-check-then-stem (text_token_stream.cpp:356-421)
+    toks = toks.withColumn("term", analyzer.map_term(F.col("term")))
     if with_positions:
         flat = toks.groupBy("doc_id", "dl", "term").agg(
             F.count("*").cast("int").alias("tf"),

@@ -84,3 +84,62 @@ def test_registry():
     assert get_analyzer("segmentation").name == "text"
     with pytest.raises(KeyError):
         get_analyzer("nope")
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (analysis/stemmer.py): full-pipeline golden outputs — the
+# worked examples from the published algorithm (incl. the two multi-step
+# derivations GENERALIZATIONS -> GENER and OSCILLATORS -> OSCIL), mirroring
+# the reference's stemming stage (text_token_stemming_stream.cpp).
+# ---------------------------------------------------------------------------
+
+
+def test_porter_stem_goldens():
+    from iresearch_spark.analysis.stemmer import porter_stem
+
+    golden = {
+        "generalizations": "gener", "oscillators": "oscil",
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration", "operator": "oper",
+        "feudalism": "feudal", "formaliti": "formal", "triplicate": "triplic",
+        "formative": "form", "electrical": "electr", "hopefulness": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "adjustable": "adjust", "defensible": "defens",
+        "replacement": "replac", "adoption": "adopt", "communism": "commun",
+        "effective": "effect", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+        "running": "run", "argument": "argument",
+    }
+    bad = {w: (porter_stem(w), e) for w, e in golden.items() if porter_stem(w) != e}
+    assert not bad, bad
+
+
+def test_text_analyzer_stem_and_accents(spark):
+    from iresearch_spark.analysis.analyzers import TextAnalyzer
+
+    df = spark.createDataFrame(
+        [(1, "Running searches; café naïve RELATIONAL queries")],
+        "doc_id long, text string",
+    )
+    an = TextAnalyzer(stem=True, accent_fold=True)
+    toks = df.select(an.tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == ["run", "search", "cafe", "naiv", "relat", "queri"]
+
+
+def test_invert_with_stemming_preserves_positions(spark):
+    from iresearch_spark.analysis.analyzers import TextAnalyzer
+    from iresearch_spark.index.build import invert
+
+    df = spark.createDataFrame(
+        [(1, "the running runner runs")], "doc_id long, content string"
+    )
+    flat, doclen = invert(df, analyzer=TextAnalyzer(stem=True))
+    rows = {r["term"]: (r["tf"], list(r["positions"])) for r in flat.collect()}
+    # 'the' is a stopword (position gap at 0); running/runs stem to 'run'
+    assert rows == {"run": (2, [1, 3]), "runner": (1, [2])}
+    assert {r["doc_id"]: r["len"] for r in doclen.collect()} == {1: 3}
