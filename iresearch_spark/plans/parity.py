@@ -157,6 +157,43 @@ ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
 LIMIT {k}"""
 
 
+def varphrase_topk(d: str, slot_preds: list[str], k: int = 10) -> str:
+    """Variadic positional phrase: slot i's predicate (over `term`) must
+    hold at position p+i. idf = sum over slots of the summed idfs of the
+    slot's matched terms (engine-pinned semantics; reference variadic
+    by_phrase, phrase_filter.cpp:204-427)."""
+    joins, conds = [], [slot_preds[0].replace("term", "t0.term")]
+    for i in range(1, len(slot_preds)):
+        joins.append(f"JOIN tok t{i} ON t0.doc_id = t{i}.doc_id AND t{i}.pos = t0.pos + {i}")
+        conds.append(slot_preds[i].replace("term", f"t{i}.term"))
+    join_sql = "\n  ".join(joins)
+    cond_sql = " AND ".join(conds)
+    idf_terms = " + ".join(
+        f"(SELECT COALESCE(SUM({IDF_EXPR}), 0e0) FROM df CROSS JOIN stats WHERE {p.replace('term', 'df.term')})"
+        for p in slot_preds
+    )
+    return f"""{tok_ctes(d)},
+ph AS (
+  SELECT t0.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS ptf
+  FROM tok t0
+  {join_sql}
+  WHERE {cond_sql}
+  GROUP BY t0.doc_id
+),
+phidf AS (SELECT {idf_terms} AS idf),
+scored AS (
+  SELECT ph.doc_id AS doc_id,
+         phidf.idf * ({K1 + 1.0}e0 * ptf) / ({K1}e0 * ({1.0 - B}e0 + {B}e0 * dl / avgdl) + ptf) AS raw_score
+  FROM ph
+  JOIN doclen ON ph.doc_id = doclen.doc_id
+  CROSS JOIN phidf CROSS JOIN stats
+)
+SELECT doc_id, CAST(floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM scored
+ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
+LIMIT {k}"""
+
+
 def term_stats_sql(d: str, limit: int = 100) -> str:
     return f"""{tok_ctes(d)}
 SELECT term, doc_freq, total_tf

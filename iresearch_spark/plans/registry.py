@@ -24,6 +24,7 @@ from iresearch_spark.search.query import (
     Prefix,
     Range,
     Term,
+    VarPhrase,
     Wildcard,
 )
 
@@ -130,6 +131,10 @@ def build_registry() -> dict[str, dict]:
     )
     r["phrase_med"] = _eng(
         lambda: Phrase(tuple(PHRASE_MED)), P.phrase_topk(P.DUCK, terms=PHRASE_MED)
+    )
+    r["varphrase_prefix"] = _eng(  # variadic phrase: [par*] [filter]
+        lambda: VarPhrase((Prefix("par", scored_terms_limit=NO_LIMIT), Term("filter"))),
+        P.varphrase_topk(P.DUCK, ["term LIKE 'par%'", "term = 'filter'"]),
     )
     # --- positional co-occurrence (by_same_position) ---
     r["same_position"] = {

@@ -11,6 +11,7 @@ from iresearch_spark.search.query import (  # noqa: F401
     SamePosition,
     Term,
     Terms,
+    VarPhrase,
     Wildcard,
 )
 from iresearch_spark.search.scorers import (  # noqa: F401

@@ -77,6 +77,7 @@ from iresearch_spark.search.query import (
     SamePosition,
     Term,
     Terms,
+    VarPhrase,
     Wildcard,
     normalize,
     wildcard_to_like,
@@ -662,7 +663,7 @@ class SearchEngine:
 
     def _leaf_hits(self, leaf: Node, boost: float) -> DataFrame:
         """One scoring leaf -> DataFrame(gdoc, score). Distinct gdoc."""
-        if isinstance(leaf, (Phrase, SamePosition)):
+        if isinstance(leaf, (Phrase, SamePosition, VarPhrase)):
             return self._phrase_hits(leaf, boost)
         spec = self._query_spec(leaf, boost)
         assert spec is not None
@@ -678,6 +679,10 @@ class SearchEngine:
     def _phrase_slots(self, leaf: Node) -> tuple[list[list[str]], list[int]]:
         if isinstance(leaf, SamePosition):
             return [[t] for t in leaf.terms], [0] * len(leaf.terms)
+        if isinstance(leaf, VarPhrase):
+            # expand each slot leaf against the term dictionary
+            slots = [[t for t, _ in self.expand(n)] for n in leaf.slots]
+            return slots, list(range(len(slots)))
         terms = list(leaf.terms)
         return [[t] for t in terms], list(range(len(terms)))
 
@@ -741,7 +746,10 @@ class SearchEngine:
             return self.doc_universe().withColumn(
                 "score", F.lit(lit).cast(self._score_t)
             )
-        if isinstance(node, (Term, Terms, Prefix, Wildcard, Fuzzy, Range, Phrase, SamePosition)):
+        if isinstance(
+            node,
+            (Term, Terms, Prefix, Wildcard, Fuzzy, Range, Phrase, SamePosition, VarPhrase),
+        ):
             return self._leaf_hits(node, boost)
         if isinstance(node, Not):
             # lone NOT = all docs minus child (boolean_filter.cpp:83-87)
@@ -820,7 +828,11 @@ class SearchEngine:
         (reference wanderator + block_disjunction); other shapes fall back
         to the general evaluator + global TakeOrdered."""
         n = normalize(node)
-        spec = self._query_spec(n) if not isinstance(n, (Phrase, SamePosition)) else None
+        spec = (
+            self._query_spec(n)
+            if not isinstance(n, (Phrase, SamePosition, VarPhrase))
+            else None
+        )
         if spec is not None:
             scorers, min_match, const, merge = spec
             if not scorers:

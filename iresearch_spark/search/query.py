@@ -107,6 +107,19 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class VarPhrase(Node):
+    """Variadic positional phrase: each slot is a term-set-producing leaf
+    (Term / Terms / Prefix / Wildcard / Fuzzy / Range) and position i must
+    hold ANY of slot i's expanded terms (reference variadic by_phrase,
+    core/search/phrase_filter.cpp:204-427 per-position VariadicPhrase
+    states). Scored like the fixed phrase: BM25 over the phrase frequency,
+    idf = sum of all matched (slot, term) idfs."""
+
+    slots: tuple[Node, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SamePosition(Node):
     """Terms co-occurring at the SAME position (core/search/
     same_position_filter.cpp:193). With a single-token-per-position

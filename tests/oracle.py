@@ -159,3 +159,33 @@ def score_phrase(idx: OracleIndex, terms: list[str], boost: float = 1.0, k: floa
 def topk(scores: dict[int, np.float32], k: int) -> list[tuple[int, float]]:
     """score desc, doc asc."""
     return sorted(scores.items(), key=lambda it: (-float(it[1]), it[0]))[:k]
+
+
+def score_varphrase(idx: OracleIndex, slots: list[list[str]], boost: float = 1.0,
+                    k: float = 1.2, b: float = 0.75) -> dict[int, np.float32]:
+    """Variadic phrase: slot j matches any of its terms at position p+j.
+    idf = float32 sum of every matched (slot, term) idf."""
+    slots = [[t for t in ts if t in idx.postings] for ts in slots]
+    if any(not ts for ts in slots):
+        return {}
+    idf = F32(sum(F32(bm25_idf(idx.n_docs, idx.doc_freq(t))) for ts in slots for t in ts))
+    # per slot: doc -> set of positions (union over slot terms)
+    slot_pos: list[dict[int, set[int]]] = []
+    for ts in slots:
+        m: dict[int, set[int]] = {}
+        for t in ts:
+            for d, _, ps in idx.postings[t]:
+                m.setdefault(d, set()).update(ps)
+        slot_pos.append(m)
+    out: dict[int, np.float32] = {}
+    for doc in slot_pos[0]:
+        if not all(doc in m for m in slot_pos[1:]):
+            continue
+        ptf = sum(
+            1
+            for p in slot_pos[0][doc]
+            if all(p + j in slot_pos[j][doc] for j in range(1, len(slots)))
+        )
+        if ptf:
+            out[doc] = bm25_score(ptf, idx.doclen[doc], idf, idx.avg_dl, k, b, boost)
+    return out

@@ -383,3 +383,34 @@ def test_kmax_kmin_merge(spark, tie_engine):
         assert got == exp, merge
         # WAND pruning must not change results under non-sum merges either
         assert _pairs(eng.topk(node, 15, wand=True)) == got, merge
+
+
+def test_varphrase_rank_identical(spark, tmp_path_factory):
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.search import Prefix, VarPhrase
+    from iresearch_spark.analysis.analyzers import DEFAULT_STOPWORDS
+
+    corpus = generate_corpus(spark, 150, seed=23).persist()
+    store = IndexStore(str(tmp_path_factory.mktemp("vpix")))
+    build_segment(spark, store, corpus, "s0")
+    rows = corpus.select("repo", "path", "commit", "content").collect()
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    oidx = oracle.build_index(
+        [(i + 1, r["content"]) for i, r in enumerate(rows)], frozenset(DEFAULT_STOPWORDS)
+    )
+    eng = SearchEngine(spark, store)
+    # pick a real adjacent bigram; the first slot becomes a 3-char prefix
+    toks = oracle.tokenize(rows[0]["content"], frozenset(DEFAULT_STOPWORDS))
+    bigram = next(
+        (t1, t2)
+        for (p1, t1), (p2, t2) in zip(toks, toks[1:])
+        if p2 == p1 + 1 and t1 != t2 and len(t1) >= 3
+    )
+    pre = bigram[0][:3]
+    node = VarPhrase((Prefix(pre), Term(bigram[1])))
+    got = _pairs(eng.topk(node, 10))
+    slot0 = sorted(t for t in oidx.postings if t.startswith(pre))
+    exp = oracle.topk(oracle.score_varphrase(oidx, [slot0, [bigram[1]]]), 10)
+    assert [g for g, _ in got] == [d for d, _ in exp]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == float(es), (gd, gs, es)
