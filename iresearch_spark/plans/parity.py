@@ -531,6 +531,45 @@ ORDER BY doc_id
 LIMIT {k}"""
 
 
+def ngram_similarity_ref_sql(
+    d: str, query_terms: list[str], n: int = 2, threshold: float = 0.5, k: int = 20
+) -> str:
+    """Oracle for the reference longest-sequence ngram similarity
+    (functions/ngramsim.py): longest chain of query grams with strictly
+    increasing (query index, doc position). Chains enumerated by k-way
+    self-joins (query gram counts are tiny), longest per doc = MAX."""
+    import math
+
+    grams = [" ".join(query_terms[i : i + n]) for i in range(len(query_terms) - n + 1)]
+    total = len(grams)
+    min_match = max(1, math.ceil(threshold * total))
+    gram_case = "CASE " + " ".join(
+        f"WHEN bg = '{g}' THEN {i}" for i, g in enumerate(grams)
+    ) + " END"
+    chains = ["SELECT doc_id, 1 AS len FROM m"]
+    for L in range(2, total + 1):
+        joins = " ".join(
+            f"JOIN m m{j} ON m{j}.doc_id = m1.doc_id AND m{j}.pos > m{j-1}.pos AND m{j}.gi > m{j-1}.gi"
+            for j in range(2, L + 1)
+        )
+        chains.append(f"SELECT m1.doc_id AS doc_id, {L} AS len FROM m m1 {joins}")
+    union = "\nUNION ALL\n".join(chains)
+    return f"""{tok_ctes(d)},
+big AS (
+  SELECT t0.doc_id AS doc_id, t0.pos AS pos, t0.term || ' ' || t1.term AS bg
+  FROM tok t0 JOIN tok t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+),
+m AS (SELECT doc_id, pos, {gram_case} AS gi FROM big WHERE bg IN ({', '.join(f"'{g}'" for g in grams)})),
+lens AS ({union}),
+best AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS longest FROM lens GROUP BY doc_id)
+SELECT doc_id, longest,
+       CAST(floor((longest * 1e0 / {total}) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM best
+WHERE longest >= {min_match}
+ORDER BY floor((longest * 1e0 / {total}) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
+LIMIT {k}"""
+
+
 def ngram_similarity_sql(d: str, query_terms: list[str], n: int = 2, threshold: float = 0.5, k: int = 20) -> str:
     """by_ngram_similarity analogue (reference core/search/
     ngram_similarity_filter.hpp:36-59): docs containing >= threshold

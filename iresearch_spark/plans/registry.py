@@ -171,6 +171,20 @@ def build_registry() -> dict[str, dict]:
     r["ngram_similarity"] = _pair(
         P.ngram_similarity_sql, query_terms=["fast", "key", "order", "sort"]
     )
+
+    # reference longest-sequence scoring (ngram_similarity_query.cpp:444:
+    # filter_boost = longest_sequence_len / total_ngrams) — engine DP kernel
+    # vs chain-enumeration oracle
+    def _ngramsim_ref(spark, sf_dir):
+        from iresearch_spark.functions.ngramsim import ngram_similarity_topk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return ngram_similarity_topk(docs, ["fast", "key", "order", "sort"], threshold=0.5)
+
+    r["ngram_similarity_longest"] = {
+        "fn": _ngramsim_ref,
+        "duck": P.ngram_similarity_ref_sql(P.DUCK, ["fast", "key", "order", "sort"]),
+    }
     # --- training-data pipeline ops ---
     r["dedup_exact"] = _pair(P.dedup_exact_sql)
     r["token_quality"] = _pair(P.token_count_sql)

@@ -414,3 +414,43 @@ def test_varphrase_rank_identical(spark, tmp_path_factory):
     assert [g for g, _ in got] == [d for d, _ in exp]
     for (gd, gs), (ed, es) in zip(got, exp):
         assert gs == float(es), (gd, gs, es)
+
+
+def test_ngram_similarity_longest_sequence_dp(spark):
+    """DP kernel == brute-force LCS on synthetic docs with gapped chains."""
+    import itertools
+    import random
+
+    from iresearch_spark.functions.ngramsim import ngram_similarity_topk
+
+    rng = random.Random(9)
+    vocab = ["fast", "key", "order", "sort", "x", "y", "z"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    query = ["fast", "key", "order", "sort"]
+    n = 2
+    grams = [" ".join(query[i : i + n]) for i in range(len(query) - n + 1)]
+
+    def brute(text):
+        toks = text.split()
+        stream = [
+            (p, grams.index(f"{a} {b}"))
+            for p, (a, b) in enumerate(zip(toks, toks[1:]))
+            if f"{a} {b}" in grams
+        ]
+        best = 0
+        for r in range(1, len(grams) + 1):
+            for chain in itertools.combinations(stream, r):
+                if all(
+                    c2[0] > c1[0] and c2[1] > c1[1] for c1, c2 in zip(chain, chain[1:])
+                ):
+                    best = max(best, r)
+        return best
+
+    exp = {i: brute(t) for i, t in docs}
+    exp = {i: v for i, v in exp.items() if v >= 2}  # threshold 0.5 * 3 grams -> 2
+    got = {
+        r["doc_id"]: r["longest"]
+        for r in ngram_similarity_topk(df, query, threshold=0.5, k=100).collect()
+    }
+    assert got == exp
