@@ -72,6 +72,44 @@ def gate_store(spark: SparkSession, sf_dir: str):
     return store
 
 
+def gate_store_deleted(spark: SparkSession, sf_dir: str):
+    """A second gate index with live deletes queued (doc_id % 7 == 0):
+    certifies the query-time tombstone mask end-to-end (the oracle keeps
+    corpus stats over ALL docs and filters only the hit set — the
+    reference's mask-until-consolidation semantics)."""
+    from iresearch_spark.index.segments import IndexStore, build_segment
+
+    key = _fingerprint(sf_dir) + "-del"
+    if key in _STORES:
+        return _STORES[key]
+    root = os.path.join(CACHE_ROOT, key)
+    store = IndexStore(root)
+    if not os.path.exists(os.path.join(root, "CURRENT")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_segment(spark, store, docs, "gate0", text_col="text", doc_id_col="doc_id")
+        victims = docs.where("doc_id % 7 = 0").select(
+            F.lit("gate0").alias("segment"), F.col("doc_id")
+        )
+        store.remove(spark, victims)
+    _STORES[key] = store
+    return store
+
+
+def deleted_topk_fn(node_factory, limit: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from iresearch_spark.search import SearchEngine
+        from iresearch_spark.search.scorers import PreciseBM25
+
+        key = (_fingerprint(sf_dir), "del-bm25")
+        if key not in _ENGINES:
+            _ENGINES[key] = SearchEngine(
+                spark, gate_store_deleted(spark, sf_dir), scorer=PreciseBM25()
+            )
+        return _as_gate_topk(_ENGINES[key].topk(node_factory(), limit))
+
+    return run
+
+
 def gate_engine(spark: SparkSession, sf_dir: str, scorer_name: str = "bm25", **kw):
     """SearchEngine over the cached gate index with a PRECISE scorer."""
     from iresearch_spark.search import SearchEngine

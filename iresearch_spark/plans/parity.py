@@ -87,11 +87,15 @@ def bm25_topk(
     exclude_terms: list[str] | None = None,
     k: int = 10,
     merge: str = "sum",
+    doc_pred: str | None = None,
 ) -> str:
     """Disjunction/conjunction/min-match BM25 top-k over exact terms or a
     term predicate (prefix/wildcard/range/fuzzy expansion, scored per
     matched term and merged kSum/kMax/kMin — reference ScoreMergeType,
-    core/search/scorer.hpp:224-236)."""
+    core/search/scorer.hpp:224-236). doc_pred: extra per-hit doc filter
+    (models the engine's query-time tombstone mask — deleted docs leave
+    the hit set but stay in the corpus stats until a merge, reference
+    index_writer.hpp:381-416)."""
     # require_all = conjunction: need ALL query terms (a term absent from
     # the corpus makes the And empty — reference empty propagation,
     # boolean_filter.cpp:146-148; r1 VERDICT wrong-5 fixed: counting only
@@ -103,6 +107,8 @@ def bm25_topk(
         excl = (
             f" AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN {_terms_in(exclude_terms)})"
         )
+    if doc_pred:
+        excl += f" AND ({doc_pred})"
     agg = {"sum": "SUM", "max": "MAX", "min": "MIN"}[merge]
     return f"""{tok_ctes(d)},
 hits AS (

@@ -104,6 +104,16 @@ def build_registry() -> dict[str, dict]:
         lambda: And((Term(HIGH), Not(child=Term(MED)))),
         P.bm25_topk(P.DUCK, terms=[HIGH], exclude_terms=[MED]),
     )
+    # live-delete mask: term query over an index with queued tombstones
+    # (doc_id % 7 == 0 removed); oracle filters hits only, stats stay full
+    r["term_high_deleted"] = {
+        "fn": G.deleted_topk_fn(lambda: Term(HIGH)),
+        "duck": P.bm25_topk(P.DUCK, terms=[HIGH], doc_pred="tf.doc_id % 7 <> 0"),
+    }
+    r["or_deleted"] = {
+        "fn": G.deleted_topk_fn(lambda: Or((Term(HIGH), Term(MED)))),
+        "duck": P.bm25_topk(P.DUCK, terms=[HIGH, MED], doc_pred="tf.doc_id % 7 <> 0"),
+    }
     # --- multiterm expansions (prefix/wildcard/range/fuzzy) ---
     r["prefix_s"] = _eng(
         lambda: Prefix("s", scored_terms_limit=NO_LIMIT),

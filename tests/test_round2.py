@@ -454,3 +454,87 @@ def test_ngram_similarity_longest_sequence_dp(spark):
         for r in ngram_similarity_topk(df, query, threshold=0.5, k=100).collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Multiterm expansion rank-identity (prefix/wildcard/fuzzy/range were only
+# smoke-tested in r1): expansion = every matching term scored individually,
+# kSum-merged — oracle reuses score_or over the python-side expansion.
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def mt_fixture(spark, tmp_path_factory):
+    from iresearch_spark.analysis.analyzers import DEFAULT_STOPWORDS
+    from iresearch_spark.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, 250, seed=31).persist()
+    store = IndexStore(str(tmp_path_factory.mktemp("mtix")))
+    build_segment(spark, store, corpus, "s0")
+    rows = corpus.select("repo", "path", "commit", "content").collect()
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    oidx = oracle.build_index(
+        [(i + 1, r["content"]) for i, r in enumerate(rows)], frozenset(DEFAULT_STOPWORDS)
+    )
+    return SearchEngine(spark, store), oidx
+
+
+def _assert_rank_score(got, exp):
+    assert [g for g, _ in got] == [d for d, _ in exp], (got, exp)
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == float(es), (gd, gs, es)
+
+
+def test_prefix_rank_identical(mt_fixture):
+    from iresearch_spark.search import Prefix
+
+    eng, oidx = mt_fixture
+    high = max(oidx.postings, key=lambda t: len(oidx.postings[t]))
+    pre = high[:3]
+    terms = [t for t in oidx.postings if t.startswith(pre)]
+    got = _pairs(eng.topk(Prefix(pre), 10))
+    _assert_rank_score(got, oracle.topk(oracle.score_or(oidx, terms), 10))
+
+
+def test_wildcard_rank_identical(mt_fixture):
+    import fnmatch
+
+    from iresearch_spark.search import Wildcard
+
+    eng, oidx = mt_fixture
+    pat = "v*1"
+    terms = [t for t in oidx.postings if fnmatch.fnmatchcase(t, pat)]
+    assert terms, "fixture should have v...1 identifiers"
+    got = _pairs(eng.topk(Wildcard(pat), 10))
+    _assert_rank_score(got, oracle.topk(oracle.score_or(oidx, terms), 10))
+
+
+def test_fuzzy_rank_identical(mt_fixture):
+    from iresearch_spark.search import Fuzzy
+
+    eng, oidx = mt_fixture
+    high = max(oidx.postings, key=lambda t: len(oidx.postings[t]))
+    terms = [t for t in oidx.postings if _lev(t, high) <= 1]
+    got = _pairs(eng.topk(Fuzzy(high, distance=1, max_terms=10**6), 10))
+    _assert_rank_score(got, oracle.topk(oracle.score_or(oidx, terms), 10))
+
+
+def test_range_rank_identical(mt_fixture):
+    from iresearch_spark.search import Range
+
+    eng, oidx = mt_fixture
+    terms = [t for t in oidx.postings if "m" <= t < "q"]
+    got = _pairs(eng.topk(Range(min_term="m", max_term="q", include_max=False, scored_terms_limit=10**6), 10))
+    _assert_rank_score(got, oracle.topk(oracle.score_or(oidx, terms), 10))
