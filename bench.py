@@ -90,7 +90,10 @@ def main() -> None:
         "AndHighMed": And((Term(high), Term(med))),
         "OrHighMed": Or((Term(high), Term(med))),
         "Or4": Or((Term(high), Term(med), Term(low), Term(terms[1][0]))),
+        "Or6": Or(tuple(Term(t) for t, _ in terms[:5]) + (Term(low),)),
         "MinMatch2of3": Or((Term(high), Term(med), Term(low)), min_match=2),
+        # 'call x' is a high-df decorated bigram (~1/12 of tokens) -> the
+        # HighPhrase-shaped category
         "Phrase": Phrase(("call", "x")),
         "Prefix3": Prefix(med[:3] if len(med) >= 3 else med),
         "Wildcard": Wildcard(f"{med[:2]}*" if len(med) >= 2 else f"{med}*"),
@@ -101,15 +104,22 @@ def main() -> None:
         rows = eng.topk(node, 10).collect()
         queries[name] = round(time.time() - t0, 3)
         assert rows is not None
+    # WAND pruning gain: same queries with block-max skipping disabled
+    for name, node in (("HighTerm", Term(high)), ("OrHighMed", Or((Term(high), Term(med))))):
+        t0 = time.time()
+        eng.topk(node, 10, wand=False).collect()
+        queries[f"{name}_nowand"] = round(time.time() - t0, 3)
 
-    # ---- phase 3: sql-path queries over the driver testdata ------------
+    # ---- phase 3: driver-gate queries over the testdata (engine-backed
+    # since r2: term/boolean/phrase run the packed index; jaccard is the
+    # relational dedup op). Keys renamed sql_* -> gate_*.
     import __spark_entry__ as E
 
     sql_qs = E.queries()
     for name in ("term_high", "or_high_med", "phrase_low", "ngram_jaccard_pairs"):
         t0 = time.time()
         sql_qs[name](spark, sf_dir).collect()
-        queries[f"sql_{name}"] = round(time.time() - t0, 3)
+        queries[f"gate_{name}"] = round(time.time() - t0, 3)
 
     total = time.time() - t_all
     out = {

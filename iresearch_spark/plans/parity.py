@@ -245,34 +245,71 @@ FROM raw r
 LEFT JOIN doclen d2 ON r.doc_id = d2.doc_id
 LEFT JOIN stopc s ON r.doc_id = s.doc_id
 ORDER BY doc_id"""
+def langid_fn_sql(d: str) -> str:
+    """Oracle twin of functions/textstats.language_id (LANG_MARKERS,
+    earliest-language tie rule via sequential strict-> fold == the
+    GREATEST-based CASE below)."""
+    from iresearch_spark.functions.textstats import LANG_MARKERS
 
-
-def langid_sql(d: str) -> str:
-    """Marker-token language ID (n-gram-heuristic stand-in): argmax of
-    marker-set hits for a fixed set of languages."""
-    markers = {
-        "en": ("the", "and", "of", "is"),
-        "code": ("def", "return", "import", "class", "static", "void"),
-        "data": ("table", "join", "query", "column", "row"),
-    }
-    cases = []
-    for lang, ms in markers.items():
+    cols = []
+    for lang, ms in LANG_MARKERS.items():
         inlist = "(" + ", ".join(f"'{m}'" for m in ms) + ")"
-        cases.append(
+        cols.append(
             f"CAST(SUM(CASE WHEN term IN {inlist} THEN 1 ELSE 0 END) AS BIGINT) AS hits_{lang}"
         )
-    cols = ",\n       ".join(cases)
+    colsql = ",\n       ".join(cols)
     return f"""{tok_ctes(d)},
 marks AS (
   SELECT doc_id,
-       {cols}
+       {colsql}
   FROM tokall GROUP BY doc_id
 )
 SELECT doc_id, hits_en, hits_code, hits_data,
-       CASE WHEN hits_code >= hits_data AND hits_code >= hits_en THEN 'code'
-            WHEN hits_data >= hits_en THEN 'data'
-            ELSE 'en' END AS pred_lang
+       CASE WHEN hits_data > GREATEST(hits_en, hits_code) THEN 'data'
+            WHEN hits_code > hits_en THEN 'code'
+            ELSE 'en' END AS pred_lang,
+       GREATEST(hits_en, hits_code, hits_data) AS pred_hits
 FROM marks
+ORDER BY doc_id"""
+
+
+def quality_fn_sql(d: str) -> str:
+    """Oracle twin of functions/textstats.quality_stats (identical column
+    set + the floor-based 6dp rounding; mean via SUM/count — AVG() differs
+    between engines in the last ulp)."""
+    rr = (
+        "regexp_replace(lower(text), '[^a-z0-9]', '')"
+        if d == SPARK
+        else "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+    )
+    r6 = "CAST(floor(({x}) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)"
+    return f"""{tok_ctes(d)},
+traw AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_unique,
+         CAST(SUM(length(term)) AS DOUBLE) / count(*) AS mean_len,
+         CAST(SUM(CASE WHEN term IN {STOPS_IN} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stop_ratio
+  FROM tokall GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length({rr}) * 1e0 / length(text) AS alnum_ratio
+  FROM documents WHERE length(text) > 0
+)
+SELECT t.doc_id AS doc_id,
+       t.n_tokens AS n_tokens,
+       t.n_unique AS n_unique,
+       {r6.format(x='t.stop_ratio')} AS stopword_ratio,
+       {r6.format(x='t.mean_len')} AS mean_token_len,
+       {r6.format(x='b.alnum_ratio')} AS alnum_ratio,
+       {r6.format(x=(
+           "LEAST(t.n_tokens / 20e0, 1e0)"
+           " * (CASE WHEN t.mean_len >= 2e0 AND t.mean_len <= 12e0 THEN 1e0 ELSE 0.5e0 END)"
+           " * LEAST((t.n_unique * 1e0 / t.n_tokens) * 2e0, 1e0)"
+           " * b.alnum_ratio"
+       ))} AS quality
+FROM traw t JOIN base b ON t.doc_id = b.doc_id
 ORDER BY doc_id"""
 
 
@@ -373,42 +410,6 @@ def event_window_sql(d: str) -> str:
 FROM events
 GROUP BY {trunc}, event_type
 ORDER BY win_start, event_type"""
-
-
-def quality_sql(d: str) -> str:
-    """Per-doc quality features (mirrors functions/textstats.quality_stats
-    formulas; raw = pre-stopword tokens)."""
-    rr = (
-        "regexp_replace(lower(text), '[^a-z0-9]', '')"
-        if d == SPARK
-        else "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
-    )
-    return f"""{tok_ctes(d)},
-traw AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(count(DISTINCT term) AS BIGINT) AS n_unique,
-         AVG(length(term)) AS mean_len
-  FROM tokall GROUP BY doc_id
-),
-base AS (
-  SELECT doc_id, length(text) AS n_chars, length({rr}) AS n_alnum
-  FROM documents
-)
-SELECT t.doc_id AS doc_id,
-       t.n_tokens AS n_tokens,
-       t.n_unique AS n_unique,
-       CAST(floor((t.mean_len) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS mean_token_len,
-       CAST(floor((b.n_alnum * 1e0 / b.n_chars) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS alnum_ratio,
-       CAST(floor((
-         LEAST(t.n_tokens / 20e0, 1e0)
-         * (CASE WHEN t.mean_len >= 2e0 AND t.mean_len <= 12e0 THEN 1e0 ELSE 0.5e0 END)
-         * LEAST(t.n_unique * 2e0 / t.n_tokens, 1e0)
-         * (b.n_alnum * 1e0 / b.n_chars)) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS quality
-FROM traw t JOIN base b ON t.doc_id = b.doc_id
-ORDER BY doc_id"""
-
-
 def simhash_pairs_sql(d: str, max_hamming: int = 3, bits: int = 32) -> str:
     """Oracle twin of functions/dedup.simhash_pairs(hash_fn='md5_32'):
     32-bit md5-based SimHash over the raw (pre-stopword, multiplicity-

@@ -195,15 +195,54 @@ def build_registry() -> dict[str, dict]:
         "fn": _ngramsim_ref,
         "duck": P.ngram_similarity_ref_sql(P.DUCK, ["fast", "key", "order", "sort"]),
     }
-    # --- training-data pipeline ops ---
+    # --- training-data pipeline ops: the gate runs the functions/ DataFrame
+    # implementations; SQL stays oracle-only ---
+    def _docs_fn(builder, **kw):
+        def run(spark, sf_dir):
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            return builder(docs, **kw)
+
+        return run
+
+    from iresearch_spark.functions.textstats import (
+        doc_fingerprint,
+        language_id,
+        quality_stats,
+        token_counts,
+    )
+
     r["dedup_exact"] = _pair(P.dedup_exact_sql)
-    r["token_quality"] = _pair(P.token_count_sql)
-    r["langid"] = _pair(P.langid_sql)
+    r["token_quality"] = {
+        "fn": _docs_fn(lambda d: token_counts(d).orderBy("doc_id")),
+        "duck": P.token_count_sql(P.DUCK),
+    }
+    r["langid"] = {
+        "fn": _docs_fn(lambda d: language_id(d).orderBy("doc_id")),
+        "duck": P.langid_fn_sql(P.DUCK),
+    }
     r["ngram_jaccard_pairs"] = _pair(P.ngram_jaccard_pairs_sql)
-    r["fingerprint"] = _pair(P.fingerprint_sql)
-    r["quality_stats"] = _pair(P.quality_sql)
-    # --- embeddings / similarity search ---
-    r["embedding_topk"] = _pair(P.embedding_topk_sql)
+    r["fingerprint"] = {
+        "fn": _docs_fn(lambda d: doc_fingerprint(d).orderBy("doc_id")),
+        "duck": P.fingerprint_sql(P.DUCK),
+    }
+    r["quality_stats"] = {
+        "fn": _docs_fn(lambda d: quality_stats(d).orderBy("doc_id")),
+        "duck": P.quality_fn_sql(P.DUCK),
+    }
+    # --- embeddings / similarity search (gate runs the DataFrame op) ---
+    def _emb_topk(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from iresearch_spark.functions.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id = 0").collect()[0]["embedding"]
+        return cosine_topk(emb, list(q), 10).select(
+            F.col("id").alias("vec_id"),
+            F.expr("CAST(floor(cosine * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)").alias("cosine"),
+        )
+
+    r["embedding_topk"] = {"fn": _emb_topk, "duck": P.embedding_topk_sql(P.DUCK)}
     # --- streaming (batch form of the watermarked windowed agg) ---
     r["event_window_stats"] = _pair(P.event_window_sql)
 
