@@ -181,6 +181,10 @@ def assign_doc_ids(
         out_col,
         (F.row_number().over(w) - 1 + base_map[F.col("_pid")]).cast("long"),
     ).drop("_pid")
+    # the intermediate cache must outlive `out`'s first materialization;
+    # expose it so callers (build_segment) can unpersist once their own
+    # persist of the result is materialized
+    out._ir_cached_input = keyed  # type: ignore[attr-defined]
     return out
 
 

@@ -300,12 +300,18 @@ def build_segment(
     analyzer = analyzer or TextAnalyzer()
     key_cols = key_cols or ["repo", "path", "commit"]
 
+    inner_cache = None
     if doc_id_col is None:
         docs = assign_doc_ids(docs, key_cols, out_col="doc_id", start=1)
+        inner_cache = getattr(docs, "_ir_cached_input", None)
         doc_id_col = "doc_id"
     elif doc_id_col != "doc_id":
         docs = docs.withColumnRenamed(doc_id_col, "doc_id")
     docs = docs.persist()
+    if inner_cache is not None:
+        # materialize the outer cache, then drop assign_doc_ids' inner one
+        docs.count()
+        inner_cache.unpersist()
 
     # Declarative inversion (Arrow tokenizer UDF + JVM groupBy — measured
     # faster than a full map-side Python inversion). `flat` is consumed

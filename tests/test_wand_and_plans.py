@@ -68,3 +68,33 @@ def test_scoring_scan_prunes_positions(engine):
     # the scoring path must not read the (largest) positions column
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_lines and all("pos_bin" not in l for l in scan_lines), scan_lines
+
+
+def _count_exchanges(df) -> int:
+    import re
+
+    plan = _plan_of(df)
+    # detail-section operator headers: "(4) Exchange" — counted once per op
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+def test_single_term_topk_has_no_shuffle(engine):
+    """Single-term top-k: scan -> kernel -> TakeOrdered. Zero exchanges —
+    one block per (term, doc), so per-doc sums need no co-location."""
+    from iresearch_spark.search import Term
+
+    assert _count_exchanges(engine.topk(Term("def"), 10)) == 0
+
+
+def test_flat_boolean_topk_has_one_block_shuffle(engine):
+    """Flat Or/And top-k: exactly ONE exchange, and it moves PACKED block
+    rows (repartition by segment/chunk), not exploded per-posting rows —
+    the 100-TB-critical plan property."""
+    from iresearch_spark.search import And, Or, Term
+
+    for node in (Or((Term("def"), Term("return"))), And((Term("def"), Term("return")))):
+        df = engine.topk(node, 10)
+        assert _count_exchanges(df) == 1, _plan_of(df)
+        plan = _plan_of(df)
+        # the exchange is hashpartitioning on (segment, chunkid)
+        assert "chunkid" in plan, plan
