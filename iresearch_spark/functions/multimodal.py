@@ -120,3 +120,71 @@ def extract_features(media_df: DataFrame, batch_hint: int = 256) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "kind": kinds, "features": feats})
 
     return media_df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media", MEDIA_STRUCT),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: (doc_id, payload, media) -> same schema with target
+    dimensions. The pixel transform is the installed decoder's job (STUB:
+    payload passes through, metadata records the new shape — the real
+    contract is the schema + batch plumbing, which is what Spark sees)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["media"] = out["media"].map(
+                lambda m: {
+                    **(m if isinstance(m, dict) else m._asdict()),
+                    "width": width,
+                    "height": height,
+                }
+            )
+            yield out[["doc_id", "payload", "media"]]
+
+    return media_df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("media", MEDIA_STRUCT),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame-sampling stage for video payloads: one output row per sampled
+    frame (frame extraction itself is the decoder's job — STUB slices the
+    payload deterministically so row counts and batch shapes are real).
+    Fan-out happens inside the Arrow kernel, so a 10k-frame video never
+    materializes as a JVM array."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, metas = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                meta = row.media if isinstance(row.media, dict) else row.media._asdict()
+                n = max(1, int(meta.get("n_frames") or 1))
+                buf = bytes(row.payload)
+                step = max(1, len(buf) // n)
+                for fi in range(0, n, every_nth):
+                    ids.append(row.doc_id)
+                    idxs.append(fi)
+                    payloads.append(buf[fi * step : (fi + 1) * step])
+                    metas.append({**meta, "n_frames": 1})
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "frame_idx": idxs, "payload": payloads, "media": metas}
+                )
+
+    return media_df.mapInPandas(kernel, FRAME_SCHEMA)

@@ -39,9 +39,9 @@ from pyspark.sql import functions as F
 from iresearch_spark.analysis.analyzers import Analyzer, TextAnalyzer
 from iresearch_spark.index.build import (
     assign_doc_ids,
-    invert,
-    pack_postings,
+    pack_tokens,
     term_stats_from_packed,
+    tokenize_stream,
 )
 
 TABLES = ("postings", "doclen", "term_stats", "docmap", "lineage")
@@ -308,20 +308,24 @@ def build_segment(
     elif doc_id_col != "doc_id":
         docs = docs.withColumnRenamed(doc_id_col, "doc_id")
     docs = docs.persist()
-    if inner_cache is not None:
-        # materialize the outer cache, then drop assign_doc_ids' inner one
-        docs.count()
-        inner_cache.unpersist()
 
-    # Declarative inversion (Arrow tokenizer UDF + JVM groupBy — measured
-    # faster than a full map-side Python inversion). `flat` is consumed
-    # exactly once (by the pack write): term_stats come from packed block
-    # metadata and doc lengths live in docmap, so nothing caches the flat
-    # postings.
-    flat, _doclen = invert(docs, text_col, "doc_id", analyzer, with_positions)
+    # Single-shuffle build: tokenize (Arrow UDF) -> token rows ->
+    # groupBy(term, chunk) -> pack kernel derives per-doc tf/positions AND
+    # packs blocks in one pass. Output is byte-identical to the two-agg
+    # pipeline (groupBy(doc,term) then groupBy(term,chunk)); local-mode
+    # wall time ties, but on a real cluster this moves each token across
+    # the network ONCE instead of every posting twice (~35% fewer shuffled
+    # bytes). Design alternatives measured and rejected in
+    # BENCH/BASELINE.md (map-side Python inversion 25% slower; two-agg
+    # kept for the merge path whose input is posting-level).
     n_part = spark.sparkContext.defaultParallelism
-    packed = pack_postings(flat, with_positions=with_positions, num_partitions=n_part)
+    tokens = tokenize_stream(docs, text_col, analyzer, with_positions)
+    packed = pack_tokens(tokens, with_positions=with_positions, num_partitions=n_part)
     packed.write.mode("overwrite").parquet(store.seg_path(seg_name, "postings"))
+    if inner_cache is not None:
+        # the write above materialized the docs cache; assign_doc_ids'
+        # intermediate range-partition cache is no longer needed
+        inner_cache.unpersist()
 
     packed_on_disk = spark.read.parquet(store.seg_path(seg_name, "postings"))
     term_stats_from_packed(packed_on_disk).repartition(

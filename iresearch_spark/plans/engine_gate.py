@@ -181,6 +181,18 @@ def field_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def column_existence_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """by_column_existence over the COMMITTED segment's docmap (the
+    columnstore analogue: stored per-doc columns ride in docmap,
+    reference core/search/column_existence_filter.cpp)."""
+    store = gate_store(spark, sf_dir)
+    dm = store.read(spark, "gate0", "docmap")
+    return dm.where(F.col("lang").isNotNull()).agg(
+        F.count("*").alias("docs_with_lang"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def same_position_fn(terms: tuple[str, str], k: int = 100):
     """by_same_position through the engine's positional kernel: docs where
     the two terms co-occur at one position (identical terms with a

@@ -177,7 +177,10 @@ def build_registry() -> dict[str, dict]:
         k=0.0,
     )
     # --- structural filters (relational formulations) ---
-    r["column_existence"] = _pair(P.column_existence_sql)
+    r["column_existence"] = {
+        "fn": G.column_existence_fn,  # reads the committed docmap (columnstore)
+        "duck": P.column_existence_sql(P.DUCK),
+    }
     r["ngram_similarity"] = _pair(
         P.ngram_similarity_sql, query_terms=["fast", "key", "order", "sort"]
     )
@@ -243,6 +246,24 @@ def build_registry() -> dict[str, dict]:
         )
 
     r["embedding_topk"] = {"fn": _emb_topk, "duck": P.embedding_topk_sql(P.DUCK)}
+
+    def _ivf_topk(spark, sf_dir):
+        """IVF build + full-probe search: correctness pin of the IVF
+        plumbing (nprobe == n_lists must equal exact brute force; the
+        recall/nprobe tradeoff is pytest-asserted on clustered vectors)."""
+        from pyspark.sql import functions as F
+
+        from iresearch_spark.functions.similarity import ivf_build, ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id = 0").collect()[0]["embedding"]
+        indexed, cents = ivf_build(emb, dim=len(q), n_lists=8, iters=1)
+        return ivf_topk(indexed, cents, list(q), 10, nprobe=8).select(
+            F.col("id").alias("vec_id"),
+            F.expr("CAST(floor(cosine * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)").alias("cosine"),
+        )
+
+    r["ann_ivf_full_topk"] = {"fn": _ivf_topk, "duck": P.embedding_topk_sql(P.DUCK)}
     # --- streaming (batch form of the watermarked windowed agg) ---
     r["event_window_stats"] = _pair(P.event_window_sql)
 

@@ -68,6 +68,89 @@ def stream_build_index(
     return writer.start()
 
 
+def sessionize_events(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key session windows closed after `gap_seconds` of inactivity.
+
+    Emits CLOSED sessions only: when a batch's events for a key arrive,
+    they merge into the open session if within the gap, otherwise the open
+    session is emitted and a new one starts. The open session persists in
+    the state store across micro-batches (the "custom stateful operator"
+    surface Structured Streaming exposes for semantics its built-in
+    windows can't express — session gaps keyed on activity, not wall
+    clock). Output: (key, session_start, session_end, n_events, sum_value).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", IntegerType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", DoubleType()),  # epoch seconds
+            StructField("end", DoubleType()),
+            StructField("n", IntegerType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        rows = []
+        cur = state.get if state.exists else None  # (start, end, n, sum)
+        cur = list(cur) if cur is not None else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            ts = pdf[ts_col].astype("int64").to_numpy() / 1e9
+            vals = pdf[value_col].to_numpy()
+            for t, v in zip(ts, vals):
+                if cur is not None and t - cur[1] <= gap_seconds:
+                    cur[1] = max(cur[1], float(t))
+                    cur[2] += 1
+                    cur[3] += float(v)
+                else:
+                    if cur is not None:
+                        rows.append(cur)
+                    cur = [float(t), float(t), 1, float(v)]
+        if cur is not None:
+            state.update(tuple(cur))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "session_start": pd.to_datetime([r[0] for r in rows], unit="s"),
+                    "session_end": pd.to_datetime([r[1] for r in rows], unit="s"),
+                    "n_events": [r[2] for r in rows],
+                    "sum_value": [r[3] for r in rows],
+                }
+            )
+
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_stats(
     events: DataFrame,
     window: str = "10 minutes",

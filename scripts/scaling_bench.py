@@ -81,6 +81,10 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=12)
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="runs per parallelism level; the MEDIAN build "
+                         "throughput run is reported (single-host runs vary "
+                         "~10-20%% run to run)")
     args = ap.parse_args()
 
     if args.cores:
@@ -88,15 +92,21 @@ def main() -> int:
         return 0
 
     results = {}
+    all_runs = {}
     for cores in (args.lo, args.hi):
-        out = subprocess.run(
-            [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs), "--queries", str(args.queries)],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        runs = []
+        for _ in range(args.repeats):
+            out = subprocess.run(
+                [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs), "--queries", str(args.queries)],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            runs.append(json.loads(line))
+        runs.sort(key=lambda r: r["docs_per_sec"])
+        all_runs[cores] = runs
+        results[cores] = runs[len(runs) // 2]  # median by build throughput
 
     lo, hi = results[args.lo], results[args.hi]
     ratio = args.hi / args.lo
@@ -138,8 +148,11 @@ host), so adding cores cannot reduce it:
 |---|---|---|
 | mean BM25 top-10 latency (s) | {lo['query_sec']/lo['n_queries']:.2f} | {hi['query_sec']/hi['n_queries']:.2f} |
 
-Raw: lo={json.dumps(lo)}
-     hi={json.dumps(hi)}
+Raw (median of {args.repeats} run(s) per level, by build throughput):
+lo runs: {json.dumps([r['docs_per_sec'] for r in all_runs[args.lo]])}
+hi runs: {json.dumps([r['docs_per_sec'] for r in all_runs[args.hi]])}
+lo={json.dumps(lo)}
+hi={json.dumps(hi)}
 
 Single-host caveat: beyond ~8 local cores this box saturates memory
 bandwidth/shuffle IO, so local[32] measures the machine, not the plan —

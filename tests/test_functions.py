@@ -130,3 +130,52 @@ def test_multimodal_plumbing(spark, docs):
     assert {r["doc_id"]: r["features"] for r in feats} == {
         r["doc_id"]: r["features"] for r in feats2
     }
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    from iresearch_spark.functions.multimodal import (
+        resize_media,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs.limit(5))
+    resized = resize_media(media, 8, 8).collect()
+    assert len(resized) == 5
+    assert all(r["media"]["width"] == 8 and r["media"]["height"] == 8 for r in resized)
+    # pretend 6 frames per payload, sample every 2nd -> 3 rows per doc
+    media6 = media.withColumn(
+        "media",
+        F.col("media").withField("n_frames", F.lit(6)).withField("kind", F.lit("video")),
+    )
+    frames = sample_frames(media6, every_nth=2).collect()
+    assert len(frames) == 15
+    assert sorted({f["frame_idx"] for f in frames}) == [0, 2, 4]
+    assert all(len(bytes(f["payload"])) > 0 for f in frames)
+
+
+def test_ivf_full_probe_equals_exact_and_partial_probe_recall(spark):
+    import numpy as np
+
+    from iresearch_spark.functions.similarity import cosine_topk, ivf_build, ivf_topk
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 16, 6, 40
+    centers = rng.normal(size=(n_clusters, dim))
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            rows.append((vid, [float(x) for x in centers[c] + 0.2 * rng.normal(size=dim)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    exact = [(r["id"], r["cosine"]) for r in cosine_topk(emb, q, 10).collect()]
+    indexed, cents = ivf_build(emb, dim, n_lists=6, iters=2)
+    indexed = indexed.persist()
+    # full probe == exact brute force (correctness pin)
+    full = [(r["id"], r["cosine"]) for r in ivf_topk(indexed, cents, q, 10, nprobe=6).collect()]
+    assert full == exact
+    # partial probe keeps high recall on clustered data
+    part = [r["id"] for r in ivf_topk(indexed, cents, q, 10, nprobe=2).collect()]
+    recall = len(set(part) & {i for i, _ in exact}) / 10
+    assert recall >= 0.9, recall

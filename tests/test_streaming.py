@@ -73,3 +73,50 @@ def test_windowed_event_stats_streaming(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     got = spark.sql("select sum(n_events) as n from evagg").collect()[0]["n"]
     assert got == spark.read.parquet(src).count()
+
+
+def test_sessionize_events_stateful(spark, tmp_path):
+    """applyInPandasWithState session windows: state carries the open
+    session across micro-batches (maxFilesPerTrigger=1 forces two), closed
+    sessions emitted exactly once."""
+    import datetime as dt
+
+    from iresearch_spark.streaming.ingest import sessionize_events
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(mins, typ="click", val=1.0):
+        return (t0 + dt.timedelta(minutes=mins), typ, val)
+
+    src = str(tmp_path / "events_src")
+    schema = "ts timestamp, event_type string, value double"
+    # batch 1: one session (0-2 min) then a gap; batch 2 extends nothing ->
+    # closes session A when session B starts at minute 30
+    spark.createDataFrame([ev(0), ev(1), ev(2)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/f1")
+    spark.createDataFrame([ev(30), ev(31)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f*")
+    )
+    out = sessionize_events(stream, gap_seconds=300)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    closed = [(r["n_events"], r["sum_value"]) for r in rows]
+    # only session A (3 events) closes; session B stays open in state
+    assert closed == [(3, 3.0)], rows
+    assert rows[0]["session_start"] == t0
+    assert rows[0]["session_end"] == t0 + dt.timedelta(minutes=2)
