@@ -47,6 +47,12 @@ def _fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _app_id(spark: SparkSession) -> str:
+    # cache DataFrame-holding objects per Spark application: a stale engine
+    # bound to a stopped session must not be served to a new one
+    return spark.sparkContext.applicationId
+
+
 def gate_store(spark: SparkSession, sf_dir: str):
     """Packed index over {sf_dir}/documents.parquet (built once, cached)."""
     from iresearch_spark.index.segments import IndexStore, build_segment
@@ -100,7 +106,7 @@ def deleted_topk_fn(node_factory, limit: int = 10):
         from iresearch_spark.search import SearchEngine
         from iresearch_spark.search.scorers import PreciseBM25
 
-        key = (_fingerprint(sf_dir), "del-bm25")
+        key = (_app_id(spark), _fingerprint(sf_dir), "del-bm25")
         if key not in _ENGINES:
             _ENGINES[key] = SearchEngine(
                 spark, gate_store_deleted(spark, sf_dir), scorer=PreciseBM25()
@@ -115,7 +121,7 @@ def gate_engine(spark: SparkSession, sf_dir: str, scorer_name: str = "bm25", **k
     from iresearch_spark.search import SearchEngine
     from iresearch_spark.search.scorers import PreciseBM25, PreciseTFIDF
 
-    key = (_fingerprint(sf_dir), scorer_name, tuple(sorted(kw.items())))
+    key = (_app_id(spark), _fingerprint(sf_dir), scorer_name, tuple(sorted(kw.items())))
     if key in _ENGINES:
         return _ENGINES[key]
     store = gate_store(spark, sf_dir)
