@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-`entry(spark)` runs the flagship query (BM25 top-10 HighTerm over the
-documents table at sf0.001). `queries()` exposes every implemented operator
-from SURVEY.md §2 as (spark, sf_dir) callables; `oracle_sql()` carries the
-DuckDB-dialect twin of each (identical expression trees -> identical
-doubles; see iresearch_spark/plans/parity.py).
+`entry(spark)` runs the flagship query (BM25 top-10 HighTerm at sf0.001)
+THROUGH the packed engine: build the inverted index over documents.parquet
+(cached per sf_dir), then SearchEngine.topk over varint-packed posting
+blocks. `queries()` exposes every implemented operator from SURVEY.md §2 as
+(spark, sf_dir) callables — search/build ops execute the engine
+(plans/engine_gate.py), pipeline ops execute the functions/ DataFrame
+implementations; `oracle_sql()` carries each entry's DuckDB oracle
+(plans/parity.py; engine runs float64 'precise' scorers replicating the
+oracle expression tree, both sides round 6dp before ordering).
 """
 
 from __future__ import annotations
