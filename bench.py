@@ -115,11 +115,15 @@ def main() -> None:
     # relational dedup op). Keys renamed sql_* -> gate_*.
     import __spark_entry__ as E
 
+    from iresearch_spark.functions.similarity import release_cached
+
     sql_qs = E.queries()
     for name in ("term_high", "or_high_med", "phrase_low", "ngram_jaccard_pairs"):
         t0 = time.time()
-        sql_qs[name](spark, sf_dir).collect()
+        out_df = sql_qs[name](spark, sf_dir)
+        out_df.collect()
         queries[f"gate_{name}"] = round(time.time() - t0, 3)
+        release_cached(out_df)  # drop builder-attached caches (LSH sigs)
 
     total = time.time() - t_all
     out = {

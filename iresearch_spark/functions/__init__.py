@@ -6,10 +6,18 @@ from iresearch_spark.functions.dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
 )
+from iresearch_spark.functions.ngramsim import (  # noqa: F401
+    ngram_match_topk,
+    ngram_similarity_topk,
+)
 from iresearch_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     hyperplane_lsh_buckets,
+    ivf_build,
+    ivf_topk,
+    ivf_write_bucketed,
     lsh_cosine_topk,
+    release_cached,
 )
 from iresearch_spark.functions.textstats import (  # noqa: F401
     doc_fingerprint,

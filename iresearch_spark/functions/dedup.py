@@ -38,27 +38,50 @@ def exact_dedup(
     """Duplicate groups by exact value: (group columns hash, keep_doc =
     min id, n_copies, sample_ids).
 
-    sample_ids is CAPPED at `max_ids` (smallest ids kept): an unbounded
-    collect_list is a per-group memory bomb when boilerplate content has
-    millions of copies at corpus scale, so ids are rank-filtered BEFORE
-    the collect (the agg buffer never holds more than max_ids per group).
-    n_copies is always exact."""
-    from pyspark.sql import Window
+    Scale shape (r3; the r2 rank-window serialized each whole group — a
+    million-copy boilerplate group is one task): counts come from a plain
+    hash aggregate (map-side partial, exact), and sample_ids (the
+    `max_ids` smallest ids) from a per-partition bounded pre-truncation —
+    sortWithinPartitions(key, id) + keep the first max_ids per key per
+    partition — then a final sorted-slice agg whose buffer is bounded by
+    max_ids * num_partitions, never by group size."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     key = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
-    keyed = df.withColumn("_k", key)
-    rank = F.row_number().over(Window.partitionBy("_k").orderBy(id_col))
-    return (
-        keyed.withColumn("_r", rank)
-        .groupBy(F.col("_k").alias("key_sha256"))
-        .agg(
-            F.min(id_col).alias("keep_doc"),
-            F.count("*").alias("n_copies"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("_r") <= max_ids, F.col(id_col)))
-            ).alias("sample_ids"),
-        )
+    keyed = df.select(key.alias("_k"), F.col(id_col).cast("long").alias("_id"))
+    agg = (
+        keyed.groupBy(F.col("_k").alias("key_sha256"))
+        .agg(F.min("_id").alias("keep_doc"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") > 1)
+    )
+
+    def head_per_key(batches):
+        last_key, taken = None, 0
+        for pdf in batches:
+            ks = pdf["_k"].to_numpy()
+            ids = pdf["_id"].to_numpy()
+            out_k, out_i = [], []
+            for j in range(len(pdf)):
+                if ks[j] != last_key:
+                    last_key, taken = ks[j], 0
+                if taken < max_ids:
+                    out_k.append(ks[j])
+                    out_i.append(ids[j])
+                    taken += 1
+            if out_k:
+                yield pd.DataFrame({"_k": out_k, "_id": out_i})
+
+    tops = keyed.sortWithinPartitions("_k", "_id").mapInPandas(
+        head_per_key,
+        StructType([StructField("_k", StringType()), StructField("_id", LongType())]),
+    )
+    samples = tops.groupBy(F.col("_k").alias("key_sha256")).agg(
+        F.slice(F.sort_array(F.collect_list("_id")), 1, max_ids).alias("sample_ids")
+    )
+    return agg.join(samples, "key_sha256").select(
+        "key_sha256", "keep_doc", "n_copies", "sample_ids"
     )
 
 
@@ -160,6 +183,9 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # persisted for the query's lifetime (the band join + est_jaccard read
+    # signatures 3x); the handle rides on the returned DataFrame — callers
+    # release via functions.similarity.release_cached() after materializing
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle, token_shingles, seed
     ).persist()
@@ -201,11 +227,13 @@ def minhash_lsh_pairs(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
         )
     )
-    return (
+    out = (
         cands.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    out._ir_cached_input = sigs  # type: ignore[attr-defined]
+    return out
 
 
 def simhash(

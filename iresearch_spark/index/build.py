@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -45,7 +45,10 @@ from iresearch_spark.analysis.analyzers import Analyzer, TextAnalyzer, tokenize
 from iresearch_spark.index.codec import (
     BLOCK_SIZE,
     delta_encode,
+    varint_byte_lens,
+    varint_decode,
     varint_encode,
+    varint_encode_offsets,
 )
 
 DEFAULT_CHUNK_BITS = 14  # window groups bounded to 16384 postings
@@ -155,10 +158,21 @@ def assign_doc_ids(
     Equivalent to ``row_number() OVER (ORDER BY key_cols)`` but scalable: the
     global ORDER BY window would execute in ONE task. Here: range-partition
     on the key, count rows per partition (a tiny aggregate), prefix-sum the
-    counts on the driver, and add the per-partition base to a
-    partition-local row_number. Deterministic for unique keys regardless of
-    sampling boundaries (reference parity: per-segment dense insertion-order
-    doc_id_t, core/utils/type_limits.hpp:39-50).
+    counts on the driver, and assign base + partition-local rank inside an
+    Arrow kernel that sorts its own partition. Deterministic for unique keys
+    regardless of sampling boundaries (reference parity: per-segment dense
+    insertion-order doc_id_t, core/utils/type_limits.hpp:39-50).
+
+    Why a kernel and not a window (r3): ``row_number() OVER (PARTITION BY
+    _pid)`` forces an Exchange hashpartitioning(_pid) — and hashing N
+    distinct pid values into N buckets collides, so some output partitions
+    carry 2-3x the docs and every downstream stage straggles on them
+    (measured: the whole build pipeline ran at ~2x ideal time at 4-8 cores
+    because of this imbalance). The kernel keeps the RANGE partitioning,
+    which repartitionByRange balanced by sampling. Output row order within
+    each partition is key-sorted, so downstream per-partition consumers see
+    ascending doc_ids. The kernel buffers one partition (the input slice)
+    in pandas — size that with num_partitions at large scale.
     """
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keyed = df.repartitionByRange(n_part, *key_cols).withColumn(
@@ -173,14 +187,27 @@ def assign_doc_ids(
     for pid in sorted(counts):
         bases[pid] = acc
         acc += counts[pid]
-    base_map = F.create_map(
-        *[F.lit(x) for kv in sorted(bases.items()) for x in kv]
+
+    out_schema = StructType(
+        [f for f in keyed.schema.fields if f.name != "_pid"]
+        + [StructField(out_col, LongType())]
     )
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
-    out = keyed.withColumn(
-        out_col,
-        (F.row_number().over(w) - 1 + base_map[F.col("_pid")]).cast("long"),
-    ).drop("_pid")
+    keys = list(key_cols)
+
+    def assigner(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        pid = int(pdf["_pid"].iloc[0])
+        # pandas str comparison is code-point order == Spark's UTF8 binary
+        # order, so ranks match the SQL ORDER BY exactly
+        pdf = pdf.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.drop(columns=["_pid"])
+        pdf[out_col] = np.arange(len(pdf), dtype=np.int64) + bases[pid]
+        yield pdf
+
+    out = keyed.mapInPandas(assigner, out_schema)
     # the intermediate cache must outlive `out`'s first materialization;
     # expose it so callers (build_segment) can unpersist once their own
     # persist of the result is materialized
@@ -468,6 +495,465 @@ def pack_tokens(
         F.col("_b.tfs_bin").alias("tfs_bin"),
         F.col("_b.dls_bin").alias("dls_bin"),
         *([F.col("_b.pos_bin").alias("pos_bin")] if with_positions else []),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Combiner build path (r3): map-side tokenize + local invert + varint pack,
+# then ONE shuffle of packed partials, then a sorted-stream merge kernel.
+#
+# Why: the r2 single-shuffle path still moved every TOKEN through the
+# exchange as an UnsafeRow struct(doc_id, pos, dl) (~30 B/token) and paid a
+# JVM sort_array(collect_list(struct)) per (term, chunk) group. Here each
+# map task inverts its own doc slice and ships one varint-packed partial row
+# per (term, chunk) (~4-6 B/token, ~25x fewer rows) — the classic map-side
+# combine the reference gets for free from its in-memory postings hash
+# (core/index/postings.cpp). The reduce side merges partials (disjoint doc
+# sets — each doc's tokens live in exactly one map batch) and re-blocks at
+# 128 docs, reusing the already-encoded tf/dl/pos bytes via offset slicing.
+# Output is byte-identical to pack_tokens() (pinned by tests).
+# ---------------------------------------------------------------------------
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("_chunk", LongType()),
+        StructField("first_doc", LongType()),
+        StructField("n_docs", IntegerType()),
+        StructField("n_tok", LongType()),
+        StructField("docs_bin", BinaryType()),
+        StructField("tfs_bin", BinaryType()),
+        StructField("dls_bin", BinaryType()),
+        StructField("pos_bin", BinaryType()),
+    ]
+)
+
+
+def text_py_spec(analyzer: Analyzer) -> dict | None:
+    """Python-side tokenizer spec for analyzers the combiner path can run
+    entirely inside an Arrow kernel; None -> caller falls back to
+    pack_tokens. TextAnalyzer's whole pipeline (accent fold, lowercase,
+    delimiter split, stopword gaps, Porter stem) has exact Python
+    equivalents — the Arrow tokenizer already runs the same `re` split."""
+    if type(analyzer) is not TextAnalyzer:
+        return None
+    return {
+        "delim": analyzer.delim_regex,
+        "stop": frozenset(analyzer.stopwords),
+        "lower": analyzer.lowercase,
+        "stem": analyzer.stem,
+        "accent": analyzer.accent_fold,
+    }
+
+
+def _make_doc_packer(spec: dict, text_col: str, chunk_bits: int, with_positions: bool):
+    """mapInPandas kernel: docs (doc_id, text) -> partial posting rows, one
+    per (term, chunk) per input batch, plus one doclen row (term=NULL) per
+    batch carrying (doc_id, dl) for every input doc — so the build needs
+    exactly ONE tokenize pass (docmap reuses the doclen rows instead of
+    re-tokenizing the corpus)."""
+    import re as _re
+
+    rx = _re.compile(spec["delim"])
+    stop = spec["stop"]
+    lower = spec["lower"]
+    use_stem = spec["stem"]
+    accent = spec["accent"]
+    stem_memo: dict = {}
+
+    if use_stem:
+        from iresearch_spark.analysis.stemmer import porter_stem
+    if accent:
+        import unicodedata
+
+        def _fold(t):
+            return "".join(
+                c for c in unicodedata.normalize("NFKD", t) if not unicodedata.combining(c)
+            )
+
+    def fn(batches):
+        from itertools import chain
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            texts = pdf[text_col]
+            if accent:
+                texts = texts.map(lambda x: _fold(x) if isinstance(x, str) else x)
+            if lower:
+                texts = texts.str.lower()
+            tok_lists = [
+                [t for t in rx.split(x) if t] if isinstance(x, str) else []
+                for x in texts
+            ]
+            lens = np.fromiter((len(l) for l in tok_lists), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            out_frames = []
+            dl = np.zeros(n, dtype=np.int64)
+            if total:
+                flat = np.fromiter(
+                    chain.from_iterable(tok_lists), dtype=object, count=total
+                )
+                codes, uniq = pd.factorize(flat)
+                uniq = np.asarray(uniq, dtype=object)
+                keep_u = np.fromiter(
+                    (t not in stop for t in uniq), dtype=bool, count=uniq.size
+                )
+                doc_idx = np.repeat(np.arange(n), lens)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                pos = np.arange(total, dtype=np.int64) - starts[doc_idx]
+                keep = keep_u[codes]
+                dl = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
+                kdoc_idx = doc_idx[keep]
+                kpos = pos[keep]
+                kc0 = codes[keep]
+                if use_stem:
+                    stemmed = np.empty(uniq.size, dtype=object)
+                    for i, t in enumerate(uniq):
+                        s = stem_memo.get(t)
+                        if s is None:
+                            s = stem_memo[t] = porter_stem(t)
+                        stemmed[i] = s
+                    remap, fterms = pd.factorize(stemmed)
+                    fterms = np.asarray(fterms, dtype=object)
+                    kcodes = remap[kc0]
+                else:
+                    kcodes = kc0
+                    fterms = uniq
+                if kcodes.size:
+                    kdocs = ids[kdoc_idx]
+                    kdl = dl[kdoc_idx]
+                    kchunk = kdocs >> chunk_bits
+                    order = np.argsort(kcodes, kind="stable")
+                    c = kcodes[order]
+                    d = kdocs[order]
+                    p = kpos[order]
+                    l = kdl[order]
+                    ch = kchunk[order]
+                    m = c.size
+                    gb = np.empty(m, dtype=bool)
+                    gb[0] = True
+                    gb[1:] = (c[1:] != c[:-1]) | (ch[1:] != ch[:-1])
+                    db = gb.copy()
+                    db[1:] |= d[1:] != d[:-1]
+                    doc_starts = np.flatnonzero(db)
+                    udocs = d[doc_starts]
+                    tf = np.diff(np.append(doc_starts, m)).astype(np.int64)
+                    udl = l[doc_starts]
+                    # group starts in unique-doc space and token space
+                    ug_starts = np.flatnonzero(gb[doc_starts])
+                    tok_g_starts = np.flatnonzero(gb)
+                    nu = udocs.size
+                    # doc deltas reset at group start (first doc absolute)
+                    ddelta = np.empty(nu, dtype=np.int64)
+                    ddelta[0] = udocs[0]
+                    np.subtract(udocs[1:], udocs[:-1], out=ddelta[1:])
+                    ddelta[ug_starts] = udocs[ug_starts]
+                    docs_buf, docs_ends = varint_encode_offsets(ddelta)
+                    tfs_buf, tfs_ends = varint_encode_offsets(tf)
+                    dls_buf, dls_ends = varint_encode_offsets(udl)
+                    if with_positions:
+                        pdelta = np.empty(m, dtype=np.int64)
+                        pdelta[0] = p[0]
+                        np.subtract(p[1:], p[:-1], out=pdelta[1:])
+                        pdelta[db] = p[db]
+                        pos_buf, pos_ends = varint_encode_offsets(pdelta)
+                    ud0 = np.concatenate(([0], docs_ends))
+                    ut0 = np.concatenate(([0], tfs_ends))
+                    ul0 = np.concatenate(([0], dls_ends))
+                    if with_positions:
+                        up0 = np.concatenate(([0], pos_ends))
+                    g_doc_end = np.append(ug_starts[1:], nu)
+                    g_tok_end = np.append(tok_g_starts[1:], m)
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "term": fterms[c[tok_g_starts]],
+                                "_chunk": ch[tok_g_starts],
+                                "first_doc": udocs[ug_starts],
+                                "n_docs": (g_doc_end - ug_starts).astype(np.int32),
+                                "n_tok": (g_tok_end - tok_g_starts).astype(np.int64),
+                                "docs_bin": [
+                                    docs_buf[ud0[s] : ud0[e]]
+                                    for s, e in zip(ug_starts, g_doc_end)
+                                ],
+                                "tfs_bin": [
+                                    tfs_buf[ut0[s] : ut0[e]]
+                                    for s, e in zip(ug_starts, g_doc_end)
+                                ],
+                                "dls_bin": [
+                                    dls_buf[ul0[s] : ul0[e]]
+                                    for s, e in zip(ug_starts, g_doc_end)
+                                ],
+                                "pos_bin": (
+                                    [
+                                        pos_buf[up0[s] : up0[e]]
+                                        for s, e in zip(tok_g_starts, g_tok_end)
+                                    ]
+                                    if with_positions
+                                    else [None] * ug_starts.size
+                                ),
+                            }
+                        )
+                    )
+            # doclen side-channel row: ALL docs of the batch (len 0 kept —
+            # docmap needs them; doclen readers filter len > 0)
+            sidx = np.argsort(ids, kind="stable")
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "term": [None],
+                        "_chunk": [-1],
+                        "first_doc": [int(ids[sidx[0]])],
+                        "n_docs": np.array([n], dtype=np.int32),
+                        "n_tok": np.array([0], dtype=np.int64),
+                        "docs_bin": [varint_encode(delta_encode(ids[sidx]))],
+                        "tfs_bin": [b""],
+                        "dls_bin": [varint_encode(dl[sidx])],
+                        "pos_bin": [None],
+                    }
+                )
+            )
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return fn
+
+
+def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, pos_bins, with_positions):
+    """Decode a partition's partial rows (already sorted by (term, chunk,
+    first_doc)) into global per-unique-doc arrays + group boundaries.
+    Returns (docs, tfs, dls, pos_deltas, grp_first_part, grp_doc_start)."""
+    P = len(terms)
+    doc_ends = np.cumsum(n_docs.astype(np.int64))
+    doc_starts = doc_ends - n_docs
+    total_docs = int(doc_ends[-1])
+    ddeltas = varint_decode(b"".join(docs_bins))
+    # segmented delta-decode: cumsum with reset at each partial start
+    cs = np.cumsum(ddeltas.astype(np.int64))
+    part_of_doc = np.repeat(np.arange(P), n_docs)
+    base = cs[doc_starts] - ddeltas[doc_starts].astype(np.int64)
+    docs = cs - base[part_of_doc]
+    tfs = varint_decode(b"".join(tfs_bins)).astype(np.int64)
+    dls = varint_decode(b"".join(dls_bins)).astype(np.int64)
+    pos_deltas = (
+        varint_decode(b"".join([b for b in pos_bins if b is not None]))
+        if with_positions
+        else None
+    )
+    # group = run of partial rows with equal (term, chunk)
+    gb_p = np.empty(P, dtype=bool)
+    gb_p[0] = True
+    if P > 1:
+        gb_p[1:] = (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])
+    grp_first_part = np.flatnonzero(gb_p)
+    grp_doc_start = doc_starts[grp_first_part]
+    # Docs are normally already ascending within each group: each doc's
+    # tokens live in exactly one map batch, batches hold contiguous doc
+    # ranges (assign_doc_ids range-partitions), and partials sort by
+    # first_doc. Verify cheaply; re-sort vectorized only if a caller fed
+    # docs with interleaved ids.
+    ok = True
+    if total_docs > 1:
+        asc = docs[1:] > docs[:-1]
+        asc[grp_doc_start[1:] - 1] = True  # group boundaries exempt
+        ok = bool(asc.all())
+    if not ok:
+        G = grp_first_part.size
+        grp_sizes = np.diff(np.append(grp_doc_start, total_docs))
+        grp_of_doc = np.repeat(np.arange(G), grp_sizes)
+        perm = np.lexsort((docs, grp_of_doc))
+        if with_positions:
+            tok_off = np.concatenate(([0], np.cumsum(tfs)))
+            tot = int(tok_off[-1])
+            seg_lens = tfs[perm]
+            new_off = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+            gather = np.repeat(tok_off[perm] - new_off, seg_lens) + np.arange(tot)
+            pos_deltas = pos_deltas[gather]
+        docs = docs[perm]
+        tfs = tfs[perm]
+        dls = dls[perm]
+    return docs, tfs, dls, pos_deltas, grp_first_part, grp_doc_start, not ok
+
+
+def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool):
+    """mapInPandas kernel over partials sorted by (term, _chunk, first_doc):
+    concatenates the partition, merges each (term, chunk) group's partials,
+    and re-blocks at `block_size` docs. tf/dl/pos bytes are SLICED from the
+    concatenated input streams (values unchanged by re-blocking — only doc
+    deltas need re-encoding, since delta resets move to block starts)."""
+    blocks_per_chunk = max(1, (1 << chunk_bits) // block_size)
+
+    def fn(batches):
+        cols: dict[str, list] = {k: [] for k in ("term", "_chunk", "n_docs", "n_tok", "docs_bin", "tfs_bin", "dls_bin", "pos_bin")}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for k in cols:
+                cols[k].append(pdf[k].to_numpy() if k in ("term", "_chunk", "n_docs", "n_tok") else list(pdf[k]))
+        if not cols["term"] or sum(len(x) for x in cols["term"]) == 0:
+            return
+        terms = np.concatenate(cols["term"])
+        chunks = np.concatenate(cols["_chunk"]).astype(np.int64)
+        n_docs = np.concatenate(cols["n_docs"]).astype(np.int64)
+        n_toks = np.concatenate(cols["n_tok"]).astype(np.int64)
+        docs_bins = [b for lst in cols["docs_bin"] for b in lst]
+        tfs_bins = [b for lst in cols["tfs_bin"] for b in lst]
+        dls_bins = [b for lst in cols["dls_bin"] for b in lst]
+        pos_bins = [b for lst in cols["pos_bin"] for b in lst]
+        docs, tfs, dls, pos_deltas, grp_first_part, grp_doc_start, resorted = (
+            _merge_partial_arrays(
+                terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins,
+                pos_bins, with_positions,
+            )
+        )
+        G = grp_first_part.size
+        total_docs = docs.size
+        grp_doc_end = np.append(grp_doc_start[1:], total_docs)
+        grp_sizes = grp_doc_end - grp_doc_start
+        # blocks tile the unique-doc axis: group g -> ceil(m/block) blocks
+        bpg = -(-grp_sizes // block_size)
+        B = int(bpg.sum())
+        gidx = np.repeat(np.arange(G), bpg)
+        bpg_off = np.concatenate(([0], np.cumsum(bpg)[:-1]))
+        intra = np.arange(B, dtype=np.int64) - bpg_off[gidx]
+        bstart = grp_doc_start[gidx] + intra * block_size
+        bend = np.minimum(bstart + block_size, grp_doc_end[gidx])
+        # doc deltas with reset at block starts; encode once, slice per block
+        ddelta = np.empty(total_docs, dtype=np.int64)
+        ddelta[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=ddelta[1:])
+        ddelta[bstart] = docs[bstart]
+        docs_buf, docs_ends_b = varint_encode_offsets(ddelta)
+        d0 = np.concatenate(([0], docs_ends_b))
+        # tf/dl bytes: values unchanged by re-blocking -> slice the original
+        # concatenated streams at element boundaries (re-encode only if the
+        # rare doc re-sort fallback permuted the arrays)
+        if resorted:
+            tfs_buf, t_ends = varint_encode_offsets(tfs)
+            dls_buf, l_ends = varint_encode_offsets(dls)
+        else:
+            tfs_buf = b"".join(tfs_bins)
+            dls_buf = b"".join(dls_bins)
+            t_ends = np.cumsum(varint_byte_lens(tfs))
+            l_ends = np.cumsum(varint_byte_lens(dls))
+        t0 = np.concatenate(([0], t_ends))
+        l0 = np.concatenate(([0], l_ends))
+        # per-block metadata (blocks tile [0, total_docs) contiguously)
+        max_tf = np.maximum.reduceat(tfs, bstart)
+        min_dl = np.minimum.reduceat(dls, bstart)
+        sum_tf = np.add.reduceat(tfs, bstart)
+        if with_positions:
+            if resorted:
+                pos_buf, p_ends = varint_encode_offsets(pos_deltas)
+            else:
+                pos_buf = b"".join([b for b in pos_bins if b is not None])
+                p_ends = np.cumsum(varint_byte_lens(pos_deltas))
+            p0 = np.concatenate(([0], p_ends))
+            tok_off = np.concatenate(([0], np.cumsum(tfs)))
+        block_id = chunks[grp_first_part][gidx] * blocks_per_chunk + intra
+        out = pd.DataFrame(
+            {
+                "term": terms[grp_first_part][gidx],
+                "block_id": block_id,
+                "doc_count": (bend - bstart).astype(np.int32),
+                "first_doc": docs[bstart],
+                "last_doc": docs[bend - 1],
+                "max_tf": max_tf.astype(np.int32),
+                "min_dl": min_dl.astype(np.int32),
+                "sum_tf": sum_tf.astype(np.int64),
+                "docs_bin": [docs_buf[d0[s] : d0[e]] for s, e in zip(bstart, bend)],
+                "tfs_bin": [tfs_buf[t0[s] : t0[e]] for s, e in zip(bstart, bend)],
+                "dls_bin": [dls_buf[l0[s] : l0[e]] for s, e in zip(bstart, bend)],
+            }
+        )
+        if with_positions:
+            out["pos_bin"] = [
+                pos_buf[p0[tok_off[s]] : p0[tok_off[e]]] for s, e in zip(bstart, bend)
+            ]
+        # stream out in bounded slices (keeps Arrow batches reasonable)
+        step = 65536
+        for i in range(0, len(out), step):
+            yield out.iloc[i : i + step]
+
+    return fn
+
+
+def pack_docs_combined(
+    docs: DataFrame,
+    analyzer: Analyzer,
+    text_col: str = "content",
+    block_size: int = BLOCK_SIZE,
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+    with_positions: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Combiner build: docs -> (packed block rows, partials handle).
+
+    The returned `partials` DataFrame (persisted by the caller) also carries
+    the per-doc lengths as term=NULL rows — `doclen_from_partials` projects
+    them back out, so build_segment tokenizes the corpus exactly once.
+    Requires `text_py_spec(analyzer)` support; callers fall back to
+    tokenize_stream + pack_tokens otherwise."""
+    spec = text_py_spec(analyzer)
+    assert spec is not None, "analyzer lacks a python spec; use pack_tokens"
+    partials = docs.select("doc_id", text_col).mapInPandas(
+        _make_doc_packer(spec, text_col, chunk_bits, with_positions),
+        _PARTIAL_SCHEMA,
+    )
+    n_part = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    post = (
+        partials.where(F.col("term").isNotNull())
+        .repartition(n_part, "term", "_chunk")
+        .sortWithinPartitions("term", "_chunk", "first_doc")
+    )
+    out_fields = [
+        StructField("term", StringType()),
+        StructField("block_id", LongType()),
+        StructField("doc_count", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("max_tf", IntegerType()),
+        StructField("min_dl", IntegerType()),
+        StructField("sum_tf", LongType()),
+        StructField("docs_bin", BinaryType()),
+        StructField("tfs_bin", BinaryType()),
+        StructField("dls_bin", BinaryType()),
+    ]
+    if with_positions:
+        out_fields.append(StructField("pos_bin", BinaryType()))
+    packed = post.mapInPandas(
+        _make_partial_merger(block_size, chunk_bits, with_positions),
+        StructType(out_fields),
+    )
+    return packed, partials
+
+
+def doclen_from_partials(partials: DataFrame) -> DataFrame:
+    """(doc_id, len) for every input doc (len 0 included) from the doclen
+    side-channel rows the doc packer emitted."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = varint_decode(b"".join(pdf["docs_bin"]))
+            # segmented delta-decode across rows
+            n_docs = pdf["n_docs"].to_numpy().astype(np.int64)
+            ends = np.cumsum(n_docs)
+            starts = ends - n_docs
+            cs = np.cumsum(ids.astype(np.int64))
+            base = cs[starts] - ids[starts].astype(np.int64)
+            doc_ids = cs - base[np.repeat(np.arange(len(pdf)), n_docs)]
+            lens = varint_decode(b"".join(pdf["dls_bin"])).astype(np.int64)
+            yield pd.DataFrame({"doc_id": doc_ids, "len": lens.astype(np.int32)})
+
+    return partials.where(F.col("term").isNull()).mapInPandas(
+        fn,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("len", IntegerType())]
+        ),
     )
 
 

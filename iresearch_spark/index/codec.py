@@ -20,17 +20,27 @@ import numpy as np
 BLOCK_SIZE = 128  # parity with reference formats_10.cpp:90
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int array (vectorized)."""
+def varint_byte_lens(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized) — lets callers slice a
+    previously encoded stream at element boundaries without re-encoding."""
     a = np.asarray(values, dtype=np.uint64)
-    n = a.size
-    if n == 0:
-        return b""
-    nb = np.ones(n, dtype=np.int64)
+    nb = np.ones(a.size, dtype=np.int64)
     v = a >> np.uint64(7)
     while v.any():
         nb += v > 0
         v >>= np.uint64(7)
+    return nb
+
+
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode and also return the cumulative byte END offset of each
+    element, so one global encode can be sliced per group:
+    ``buf[ends[s-1] if s else 0 : ends[e-1]]`` == encode(values[s:e])."""
+    a = np.asarray(values, dtype=np.uint64)
+    n = a.size
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nb = varint_byte_lens(a)
     ends = np.cumsum(nb)
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
     starts = ends - nb
@@ -39,7 +49,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         idx = starts[m] + k
         out[idx] = ((a[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
         out[idx] |= ((nb[m] - 1 > k).astype(np.uint8)) << 7
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array (vectorized)."""
+    return varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:

@@ -102,26 +102,87 @@ def build_doc_map(
     docs) — spacing by docs-with-field would collide gdoc ranges (see
     SegmentMeta.docs_total).
     """
-    order = {s: i for i, s in enumerate(seg_names)}
     docs = store.read_union(spark, "docmap", seg_names).select("segment", "doc_id")
     if tombstones is not None:
         docs = docs.join(tombstones, ["segment", "doc_id"], "left_anti")
-        # dense renumber: count live per segment -> driver prefix sums
-        counts = {
-            r["segment"]: r["cnt"]
-            for r in docs.groupBy("segment").agg(F.count("*").alias("cnt")).collect()
-        }
-        base, acc = {}, 1
-        for s in seg_names:
-            base[s] = acc
-            acc += counts.get(s, 0)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("segment").orderBy("doc_id")
-        base_map = F.create_map(*[F.lit(x) for s in seg_names for x in (s, base[s])])
-        return docs.withColumn(
-            "new_doc", F.row_number().over(w) - 1 + base_map[F.col("segment")]
+        # Dense renumber WITHOUT a per-segment window (r3; r2 VERDICT
+        # next-6): row_number() OVER (PARTITION BY segment) serializes a
+        # whole segment — 100M docs — into one task. Instead: range-
+        # partition by (segment, doc_id), count rows per (partition,
+        # segment) — a tiny aggregate — prefix-sum on the driver in
+        # (segment base, partition order), then assign partition-locally.
+        # Same pattern as build.assign_doc_ids.
+        counts_rows = (
+            docs.repartitionByRange(
+                docs.sparkSession.sparkContext.defaultParallelism, "segment", "doc_id"
+            )
+            .withColumn("_pid", F.spark_partition_id())
         )
+        keyed = counts_rows.persist()
+        per_part = keyed.groupBy("_pid", "segment").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+        live_counts: dict[str, int] = {}
+        for r in per_part:
+            live_counts[r["segment"]] = live_counts.get(r["segment"], 0) + r["cnt"]
+        seg_base, acc = {}, 1
+        for s in seg_names:
+            seg_base[s] = acc
+            acc += live_counts.get(s, 0)
+        from collections import defaultdict
+
+        by_seg: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        for r in per_part:
+            by_seg[r["segment"]].append((r["_pid"], r["cnt"]))
+        pid_seg_base: dict[tuple[int, str], int] = {}
+        for seg, lst in by_seg.items():
+            a = seg_base[seg]
+            for pid, cnt in sorted(lst):
+                pid_seg_base[(pid, seg)] = a
+                a += cnt
+
+        def assigner(batches):
+            parts = [p for p in batches if len(p)]
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            pid = int(pdf["_pid"].iloc[0])
+            pdf = pdf.sort_values(["segment", "doc_id"], kind="mergesort").reset_index(
+                drop=True
+            )
+            segs = pdf["segment"].to_numpy()
+            n = len(pdf)
+            bnd = np.flatnonzero(
+                np.concatenate(([True], segs[1:] != segs[:-1]))
+            )
+            runs = np.diff(np.append(bnd, n))
+            local = np.arange(n, dtype=np.int64) - np.repeat(bnd, runs)
+            bases = np.repeat(
+                np.array(
+                    [pid_seg_base[(pid, s)] for s in segs[bnd]], dtype=np.int64
+                ),
+                runs,
+            )
+            yield pd.DataFrame(
+                {
+                    "segment": pdf["segment"],
+                    "doc_id": pdf["doc_id"],
+                    "new_doc": bases + local,
+                }
+            )
+
+        out = keyed.mapInPandas(
+            assigner,
+            StructType(
+                [
+                    StructField("segment", StringType()),
+                    StructField("doc_id", LongType()),
+                    StructField("new_doc", LongType()),
+                ]
+            ),
+        )
+        out._ir_cached_input = keyed  # type: ignore[attr-defined]
+        return out
     counts = {
         r["segment"]: r["cnt"]
         for r in docs.groupBy("segment").agg(F.count("*").alias("cnt")).collect()

@@ -39,8 +39,11 @@ from pyspark.sql import functions as F
 from iresearch_spark.analysis.analyzers import Analyzer, TextAnalyzer
 from iresearch_spark.index.build import (
     assign_doc_ids,
+    doclen_from_partials,
+    pack_docs_combined,
     pack_tokens,
     term_stats_from_packed,
+    text_py_spec,
     tokenize_stream,
 )
 
@@ -309,18 +312,25 @@ def build_segment(
         docs = docs.withColumnRenamed(doc_id_col, "doc_id")
     docs = docs.persist()
 
-    # Single-shuffle build: tokenize (Arrow UDF) -> token rows ->
-    # groupBy(term, chunk) -> pack kernel derives per-doc tf/positions AND
-    # packs blocks in one pass. Output is byte-identical to the two-agg
-    # pipeline (groupBy(doc,term) then groupBy(term,chunk)); local-mode
-    # wall time ties, but on a real cluster this moves each token across
-    # the network ONCE instead of every posting twice (~35% fewer shuffled
-    # bytes). Design alternatives measured and rejected in
-    # BENCH/BASELINE.md (map-side Python inversion 25% slower; two-agg
-    # kept for the merge path whose input is posting-level).
+    # Combiner build (r3): map-side tokenize + local invert + varint-pack
+    # partials per input slice, shuffle ONLY packed bytes (~4-6 B/token vs
+    # ~30 B/token for struct rows, ~25x fewer rows), then a sorted-stream
+    # merge kernel re-blocks at 128 docs. Byte-identical output to the r2
+    # token-level pack_tokens path (pinned by tests); partials also carry
+    # the per-doc lengths, so docmap no longer re-tokenizes the corpus
+    # (the r2 build tokenized twice). Falls back to tokenize_stream +
+    # pack_tokens for analyzers without a Python-side spec.
     n_part = spark.sparkContext.defaultParallelism
-    tokens = tokenize_stream(docs, text_col, analyzer, with_positions)
-    packed = pack_tokens(tokens, with_positions=with_positions, num_partitions=n_part)
+    partials = None
+    if text_py_spec(analyzer) is not None:
+        packed, partials = pack_docs_combined(
+            docs, analyzer, text_col,
+            with_positions=with_positions, num_partitions=n_part,
+        )
+        partials = partials.persist()
+    else:
+        tokens = tokenize_stream(docs, text_col, analyzer, with_positions)
+        packed = pack_tokens(tokens, with_positions=with_positions, num_partitions=n_part)
     packed.write.mode("overwrite").parquet(store.seg_path(seg_name, "postings"))
     if inner_cache is not None:
         # the write above materialized the docs cache; assign_doc_ids'
@@ -334,15 +344,24 @@ def build_segment(
         store.seg_path(seg_name, "term_stats")
     )
     # docmap carries the doc length (`len`) so no separate doclen table is
-    # written — IndexStore.read(seg, "doclen") projects it back out. One
-    # tokenize-only pass computes dl inline.
+    # written — IndexStore.read(seg, "doclen") projects it back out. On the
+    # combiner path the lengths come from the cached partials' doclen
+    # side-channel rows (zero extra tokenize passes); fallback path
+    # tokenizes once more via the analyzer expression.
     ident_cols = [c for c in docs.columns if c in ("repo", "path", "commit", "lang", "content_sha256", "source")]
-    dl_expr = F.size(
-        F.filter(analyzer.raw_tokens(F.col(text_col)), lambda t: analyzer.keep(t))
-    ).cast("int")
-    docs.select("doc_id", dl_expr.alias("len"), *ident_cols).write.mode(
-        "overwrite"
-    ).parquet(store.seg_path(seg_name, "docmap"))
+    if partials is not None:
+        dl_df = doclen_from_partials(partials)
+        docs.select("doc_id", *ident_cols).join(dl_df, "doc_id").select(
+            "doc_id", "len", *ident_cols
+        ).write.mode("overwrite").parquet(store.seg_path(seg_name, "docmap"))
+        partials.unpersist()
+    else:
+        dl_expr = F.size(
+            F.filter(analyzer.raw_tokens(F.col(text_col)), lambda t: analyzer.keep(t))
+        ).cast("int")
+        docs.select("doc_id", dl_expr.alias("len"), *ident_cols).write.mode(
+            "overwrite"
+        ).parquet(store.seg_path(seg_name, "docmap"))
     _lineage(
         docs,
         key_cols if all(c in docs.columns for c in key_cols) else ["doc_id"],
@@ -373,6 +392,67 @@ def build_segment(
         m.segments = [s for s in m.segments if s.name != seg_name] + [meta]
         m.gen += 1
         m.analyzer = analyzer.name
+        store.commit(m)
+    return meta
+
+
+def build_segment_from_tokens(
+    spark: SparkSession,
+    store: IndexStore,
+    tokens: DataFrame,
+    docmap: DataFrame,
+    seg_name: str,
+    analyzer_name: str = "custom",
+    with_positions: bool = True,
+    commit: bool = True,
+) -> SegmentMeta:
+    """Build a segment from a PRE-TOKENIZED stream instead of raw docs —
+    the hook for analyzers whose token positions Spark arrays cannot
+    express (increment-0 / overlapping tokens, reference
+    token_attributes::increment, core/analysis/token_attributes.hpp:50-63:
+    several terms may share one position).
+
+    tokens: (doc_id, dl, term, pos) rows — multiple terms per (doc_id,
+    pos) allowed. docmap: (doc_id, len, ...identity columns) for every doc.
+    Lineage is recorded over the docmap rows (no raw text at this seam).
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    packed = pack_tokens(tokens, with_positions=with_positions, num_partitions=n_part)
+    packed.write.mode("overwrite").parquet(store.seg_path(seg_name, "postings"))
+    packed_on_disk = spark.read.parquet(store.seg_path(seg_name, "postings"))
+    term_stats_from_packed(packed_on_disk).repartition(
+        max(1, n_part // 4), "term"
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+        store.seg_path(seg_name, "term_stats")
+    )
+    docmap.write.mode("overwrite").parquet(store.seg_path(seg_name, "docmap"))
+    key = F.col("doc_id").cast("string")
+    docmap_src = store.read(spark, seg_name, "docmap")
+    docmap_src.withColumn("_part", F.pmod(F.xxhash64(key), F.lit(LINEAGE_PARTS))).withColumn(
+        "_rh", F.xxhash64(key, F.col("len"))
+    ).groupBy(F.col("_part").alias("part")).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("len").alias("bytes"),
+        F.expr("bit_xor(_rh)").alias("input_hash"),
+    ).write.mode("overwrite").parquet(store.seg_path(seg_name, "lineage"))
+    agg = docmap_src.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("len") > 0, 1)).alias("n"),
+        F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    meta = SegmentMeta(
+        name=seg_name,
+        docs_count=int(agg["n"]),
+        sum_len=int(agg["s"]),
+        bytes=store.dir_bytes(seg_name),
+        created_at=time.time(),
+        docs_total=int(agg["total"]),
+    )
+    if commit:
+        m = store.current()
+        m.segments = [s for s in m.segments if s.name != seg_name] + [meta]
+        m.gen += 1
+        m.analyzer = analyzer_name
         store.commit(m)
     return meta
 

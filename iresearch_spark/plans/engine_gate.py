@@ -199,16 +199,72 @@ def column_existence_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gate_store_pos0(spark: SparkSession, sf_dir: str):
+    """Gate index with an INCREMENT-0 (overlapping-token) stream: every
+    word contributes all of its char-2-grams AT THE WORD'S POSITION
+    (single-char words contribute themselves). Multiple terms share one
+    position — the token_attributes::increment == 0 shape
+    (core/analysis/token_attributes.hpp:50-63) that by_same_position
+    exists for (same_position_filter.cpp:193). 2-grams (not 3) because the
+    testdata vocabulary is small: 3-grams determine their word almost
+    uniquely, which would collapse same-position back into term presence;
+    2-grams collide across words ('rt' in both 'sort' and 'part'), so the
+    operator's answer genuinely differs from the conjunction (pinned by
+    tests). Built via build_segment_from_tokens since array-based
+    analyzers cannot express overlapping positions."""
+    from iresearch_spark.index.segments import IndexStore, build_segment_from_tokens
+
+    key = _fingerprint(sf_dir) + "-pos0"
+    if key in _STORES:
+        return _STORES[key]
+    root = os.path.join(CACHE_ROOT, key)
+    store = IndexStore(root)
+    if not os.path.exists(os.path.join(root, "CURRENT")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9_]+"), lambda t: t != F.lit("")
+        )
+        words = docs.select(
+            "doc_id",
+            F.size(toks).cast("int").alias("dl"),
+            F.posexplode(toks).alias("pos", "w"),
+        )
+        grams = F.when(
+            F.length("w") >= 2,
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"),
+        ).otherwise(F.array("w"))
+        tok_rows = words.select(
+            "doc_id",
+            "dl",
+            F.explode(grams).alias("term"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        docmap = docs.select("doc_id", F.size(toks).cast("int").alias("len"), "lang")
+        build_segment_from_tokens(
+            spark, store, tok_rows, docmap, "pos0", analyzer_name="word2gram"
+        )
+    _STORES[key] = store
+    return store
+
+
 def same_position_fn(terms: tuple[str, str], k: int = 100):
-    """by_same_position through the engine's positional kernel: docs where
-    the two terms co-occur at one position (identical terms with a
-    single-token-per-position analyzer). Output: doc_id rows only."""
+    """by_same_position through the engine's positional kernel over the
+    increment-0 gram index: docs where some single WORD contains both
+    grams (same position), as opposed to the two grams merely co-occurring
+    in the doc — the r2 fixture queried a term against itself, which
+    degenerates to term presence (r2 VERDICT wrong-2); this one does not,
+    and tests pin that it differs from the conjunction."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from iresearch_spark.search import SamePosition
+        from iresearch_spark.search import SamePosition, SearchEngine
+        from iresearch_spark.search.scorers import PreciseBM25
 
-        eng = gate_engine(spark, sf_dir)
-        hits = eng.execute(SamePosition(terms))
+        key = (_app_id(spark), _fingerprint(sf_dir), "pos0")
+        if key not in _ENGINES:
+            _ENGINES[key] = SearchEngine(
+                spark, gate_store_pos0(spark, sf_dir), scorer=PreciseBM25()
+            )
+        hits = _ENGINES[key].execute(SamePosition(terms))
         return hits.select(F.col("gdoc").alias("doc_id")).orderBy("doc_id").limit(k)
 
     return run

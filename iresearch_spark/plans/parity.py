@@ -200,6 +200,32 @@ ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
 LIMIT {k}"""
 
 
+def bm25_tiered_topk(d: str, term_like: str, scored_limit: int, k: int = 50) -> str:
+    """Two-tier multiterm semantics (reference multiterm_query.cpp:36-71):
+    only the top `scored_limit` matched terms (doc_freq desc, term asc —
+    the collector order) are scored; every OTHER matched term's docs are
+    unioned in with score 0 (the lazy bitset leg carries an empty score).
+    Tail-only docs therefore appear, ranked by (0, doc_id)."""
+    return f"""{tok_ctes(d)},
+sel AS (SELECT term FROM df WHERE term LIKE '{term_like}'
+        ORDER BY doc_freq DESC, term LIMIT {scored_limit}),
+hits AS (
+  SELECT tf.doc_id AS doc_id, SUM({SCORE_EXPR}) AS raw_score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM sel)
+  GROUP BY tf.doc_id
+),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE tf.term LIKE '{term_like}')
+SELECT m.doc_id AS doc_id,
+       CAST(floor((COALESCE(h.raw_score, 0e0)) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM matched m LEFT JOIN hits h ON m.doc_id = h.doc_id
+ORDER BY floor((COALESCE(h.raw_score, 0e0)) * 1000000e0 + 0.5e0) / 1000000e0 DESC, m.doc_id
+LIMIT {k}"""
+
+
 def term_stats_sql(d: str, limit: int = 100) -> str:
     return f"""{tok_ctes(d)}
 SELECT term, doc_freq, total_tf
@@ -524,16 +550,41 @@ FROM documents WHERE lang IS NOT NULL"""
 
 
 def same_position_sql(d: str, terms: list[str], k: int = 100) -> str:
-    """by_same_position analogue (reference core/search/
-    same_position_filter.cpp): docs where all terms share one position.
-    With a single-token-per-position analyzer this is only satisfiable for
-    identical terms; we expose the operator as pairs at distance 0 between
-    a term and itself via tokall (pre-stopword) vs tok streams."""
+    """by_same_position oracle over the INCREMENT-0 gram stream
+    (engine_gate.gate_store_pos0): every word emits its char-2-grams at
+    the word's position, so distinct terms genuinely share positions
+    (same_position_filter.cpp:193 semantics). Docs match when one word
+    contains BOTH grams — strictly narrower than the conjunction of the
+    grams (the r2 identical-term fixture was a tautology; this is not)."""
     t0, t1 = terms[0], terms[1]
-    return f"""{tok_ctes(d)}
+    if d == SPARK:
+        words = (
+            "words AS (SELECT doc_id, pos, w FROM "
+            f"(SELECT doc_id, filter(split(lower(text), '{DELIM_RE}'), x -> x <> '') AS toks FROM documents) "
+            "LATERAL VIEW posexplode(toks) t AS pos, w)"
+        )
+        grams = (
+            "grams AS (SELECT doc_id, pos, g FROM ("
+            "SELECT doc_id, pos, CASE WHEN length(w) >= 2 "
+            "THEN transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+            "ELSE array(w) END AS gl FROM words) LATERAL VIEW explode(gl) t AS g)"
+        )
+    else:
+        words = (
+            "words AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS w FROM "
+            f"(SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{DELIM_RE}'), x -> x <> '') AS toks FROM documents))"
+        )
+        grams = (
+            "grams AS (SELECT doc_id, pos, unnest(gl) AS g FROM ("
+            "SELECT doc_id, pos, CASE WHEN length(w) >= 2 "
+            "THEN [substring(w, i, 2) for i in range(1, length(w))] "
+            "ELSE [w] END AS gl FROM words))"
+        )
+    return f"""WITH {words},
+{grams}
 SELECT DISTINCT a.doc_id AS doc_id
-FROM tokall a JOIN tokall b ON a.doc_id = b.doc_id AND a.pos = b.pos
-WHERE a.term = '{t0}' AND b.term = '{t1}'
+FROM grams a JOIN grams b ON a.doc_id = b.doc_id AND a.pos = b.pos
+WHERE a.g = '{t0}' AND b.g = '{t1}'
 ORDER BY doc_id
 LIMIT {k}"""
 

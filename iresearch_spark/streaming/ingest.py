@@ -168,7 +168,12 @@ def windowed_event_stats(
         src.groupBy(F.window(ts_col, window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # half-up 6-dp rounding via floor — ROUND() differs between
+            # engines at representation boundaries; this expression is the
+            # one the DuckDB oracle evaluates, bit-identically
+            F.expr(
+                "CAST(floor(SUM(value) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)"
+            ).alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),

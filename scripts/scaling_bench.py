@@ -113,8 +113,18 @@ def main() -> int:
     for cores in (args.lo, args.hi):
         runs = []
         for _ in range(args.repeats):
+            # OS-level affinity for the WHOLE process tree: the JVM flags
+            # below pin JVM helper threads, but Python UDF workers are
+            # separate processes the JVM cannot pin — without taskset a
+            # local[2] job silently borrows extra physical cores for its
+            # Python workers and the low-N leg measures more than 2 cores.
+            # taskset affinity is inherited by every forked worker, so
+            # local[N] means exactly N CPUs end to end.
+            cmd = [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs), "--queries", str(args.queries)]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
             out = subprocess.run(
-                [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs), "--queries", str(args.queries)],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
