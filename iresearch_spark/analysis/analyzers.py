@@ -229,6 +229,67 @@ class TextAnalyzer(Analyzer):
         return out
 
 
+_SEG_TOKENIZERS: dict = {}
+
+# Unicode word pattern (UAX#29 approximation): runs of letters / combining
+# marks / digits / connector punctuation, with apostrophes and periods kept
+# INSIDE a token when flanked by word characters (the MidLetter /
+# MidNumLet rules: "can't", "3.14", "node.js" stay single tokens; a
+# trailing "end." does not absorb the period).
+_SEG_WORD = r"[\p{L}\p{M}\p{N}\p{Pc}]+(?:['’.][\p{L}\p{M}\p{N}\p{Pc}]+)*"
+
+
+def _seg_tokenizer(case: str):
+    key = case
+    if key not in _SEG_TOKENIZERS:
+        import regex as _rx
+
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, StringType
+
+        pat = _rx.compile(_SEG_WORD)
+
+        @pandas_udf(ArrayType(StringType()))
+        def tok(s: pd.Series) -> pd.Series:
+            if case == "lower":
+                s = s.str.lower()
+            elif case == "upper":
+                s = s.str.upper()
+            return s.map(lambda x: pat.findall(x) if isinstance(x, str) else None)
+
+        _SEG_TOKENIZERS[key] = tok
+    return _SEG_TOKENIZERS[key]
+
+
+@dataclass(frozen=True)
+class SegmentationAnalyzer(Analyzer):
+    """`segmentation`: ICU-style Unicode word-break, approximated with the
+    `regex` module's Unicode properties (reference
+    core/analysis/segmentation_token_stream.cpp:33-52 — ICU BreakIterator
+    word instance, "alpha" graph keeps word tokens; case option from its
+    options struct).
+
+    Pinned approximation (no ICU in this environment): tokens are runs of
+    \\p{L}\\p{M}\\p{N}\\p{Pc} with MidLetter/MidNumLet characters
+    (' ’ .) retained between word characters. Matches ICU on
+    space-delimited scripts including full Unicode (non-Latin letters
+    tokenize instead of vanishing, unlike the ASCII delimiter class);
+    known divergence: CJK runs stay whole (ICU segments them with a
+    dictionary) — documented in COVERAGE.md."""
+
+    case: str = "lower"  # "lower" | "upper" | "none" (options.case)
+    stopwords: tuple[str, ...] = ()
+    name: str = field(default="segmentation", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        return _seg_tokenizer(self.case)(col)
+
+    def keep(self, term: Column) -> Column:
+        if not self.stopwords:
+            return F.lit(True)
+        return ~term.isin(*self.stopwords)
+
+
 @dataclass(frozen=True)
 class DelimiterAnalyzer(Analyzer):
     """`delimiter` / `multi_delimiter`: split on literal delimiter(s).
@@ -363,7 +424,7 @@ class PipelineAnalyzer(Analyzer):
 
 _REGISTRY: dict[str, Callable[..., Analyzer]] = {
     "text": TextAnalyzer,
-    "segmentation": TextAnalyzer,  # pinned subset coincides
+    "segmentation": SegmentationAnalyzer,  # regex-module UAX#29 approx (r3)
     "delimiter": DelimiterAnalyzer,
     "multi_delimiter": DelimiterAnalyzer,
     "norm": NormAnalyzer,

@@ -86,19 +86,23 @@ def exact_dedup(
 
 
 def _shingles(text: Column, n: int, token_shingles: bool) -> Column:
-    """Char n-grams or token n-grams of the lowercased text."""
+    """Char n-grams or token n-grams of the lowercased text.
+
+    Token n-grams build by zip-with-shifted-self (O(tokens) — the r2
+    per-position slice() was O(tokens^2) per doc and dominated minhash
+    signature cost on long documents): window j..j+n-1 = token j
+    concatenated with each of the n-1 shifted arrays; windows running off
+    the end pick up a NULL and concat() nulls them out."""
     if token_shingles:
         toks = F.filter(F.split(F.lower(text), "[^a-z0-9_]+"), lambda t: t != F.lit(""))
         length = F.size(toks)
-
-        def gram(i):
-            return F.concat_ws(" ", F.slice(toks, i, n))
-
+        grams = toks
+        for j in range(1, n):
+            shifted = F.slice(toks, j + 1, length)
+            grams = F.zip_with(grams, shifted, lambda acc, y: F.concat(acc, F.lit(" "), y))
+        grams = F.filter(grams, lambda g: g.isNotNull())
         return F.array_distinct(
-            F.when(
-                length >= n,
-                F.transform(F.sequence(F.lit(1), length - n + 1), gram),
-            ).otherwise(F.array(F.concat_ws(" ", toks)))
+            F.when(length >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
         )
     low = F.lower(text)
     length = F.length(low)
@@ -142,16 +146,38 @@ def minhash_signatures(
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            arr = np.asarray(h, dtype=np.int64)
-            if arr.size == 0:
-                out.append(np.full(num_hashes, MERSENNE_P, dtype=np.int64))
-                continue
-            # (num_hashes x grams) mod-affine then min-reduce; int64-safe:
-            # a,h < 2^31 -> a*h < 2^62
-            out.append(((a[:, None] * arr[None, :] + b[:, None]) % MERSENNE_P).min(axis=1))
-        return pd.Series(out)
+        """Batch-vectorized min-wise reduction: ONE (num_hashes x grams)
+        mod-affine matrix per ~100k-gram chunk with per-doc
+        minimum.reduceat — no per-doc Python (int64-safe: a,h < 2^31 ->
+        a*h < 2^62)."""
+        n = len(hs)
+        lens = np.fromiter(
+            (len(h) if h is not None else 0 for h in hs), np.int64, count=n
+        )
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        flat = np.empty(int(bounds[-1]), dtype=np.int64)
+        for i, h in enumerate(hs):
+            if lens[i]:
+                flat[bounds[i] : bounds[i + 1]] = np.asarray(h, dtype=np.int64)
+        out = np.full((n, num_hashes), MERSENNE_P, dtype=np.int64)
+        chunk = 100_000  # grams per matrix (keeps 64 x chunk ~ 50 MB)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and bounds[j + 1] - bounds[i] < chunk:
+                j += 1
+            seg = flat[bounds[i] : bounds[j]]
+            if seg.size:
+                m = (a[:, None] * seg[None, :] + b[:, None]) % MERSENNE_P
+                # reduceat over NON-empty docs only: empty docs are
+                # zero-width (their start == the next doc's start), which
+                # reduceat cannot express — they keep the sentinel row
+                ne = np.flatnonzero(lens[i:j] > 0)
+                st = (bounds[i:j] - bounds[i])[ne]
+                red = np.minimum.reduceat(m, st, axis=1)
+                out[i + ne] = red.T
+            i = j
+        return pd.Series(list(out))
 
     return df.select(F.col(id_col).alias("id"), _sig(base).alias("signature"))
 
@@ -189,9 +215,12 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle, token_shingles, seed
     ).persist()
+    # band rows carry ONLY (id, band, band_hash): shipping the 64-long
+    # signature array through the self-join and the pair-dedup shuffle
+    # multiplied shuffle bytes ~16x (r3 fix — signatures re-attach to the
+    # deduped pair set, which is orders of magnitude smaller)
     banded = sigs.select(
         "id",
-        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -214,13 +243,15 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = cands.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")),
+        "id_b",
     )
     agree = F.size(
         F.filter(
@@ -361,10 +392,20 @@ def ngram_jaccard_pairs(
     semi-restricted joins against the candidate set, linear in
     |candidates| x doc length."""
     sh = _shingles(F.col(text_col), n, token_shingles=True)
+    if candidates is not None:
+        # restrict the gram explode to docs that appear in ANY candidate
+        # pair BEFORE the distinct/groupBy shuffles: |candidate docs| <<
+        # |corpus|, so the verify stage's shuffles shrink accordingly
+        cand = candidates.select("id_a", "id_b").distinct()
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(cand_ids, id_col, "left_semi")
     grams = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("g")).distinct()
     sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
     if candidates is not None:
-        cand = candidates.select("id_a", "id_b").distinct()
         ga = cand.join(grams.withColumnRenamed("id", "id_a"), "id_a")
         inter = (
             ga.join(

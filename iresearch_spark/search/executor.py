@@ -629,10 +629,10 @@ class SearchEngine:
                 .repartition(n_part, "segment", "chunkid")
                 .sortWithinPartitions("segment", "chunkid")
             )
-        elif k is not None:
-            # most-promising blocks first tighten the threshold early
-            # (WAND efficiency, not correctness)
-            blocks = blocks.sortWithinPartitions(F.desc("max_tf"), F.asc("min_dl"))
+        # (r3: the r2 single-term sortWithinPartitions(max_tf desc) that
+        # tried to tighten the threshold early cost more than it saved —
+        # the pool fills after the first 128-doc block anyway, and the sort
+        # added a stage; measured wand > nowand on HighTerm because of it)
         kernel = _topk_sums_kernel(
             scorers,
             other_ub,

@@ -81,9 +81,37 @@ def test_pipeline_analyzer(spark):
 
 def test_registry():
     assert get_analyzer("text").name == "text"
-    assert get_analyzer("segmentation").name == "text"
+    assert get_analyzer("segmentation").name == "segmentation"
     with pytest.raises(KeyError):
         get_analyzer("nope")
+
+
+def test_segmentation_unicode_word_break(spark):
+    """regex-module UAX#29 approximation (r2 VERDICT missing-2): MidLetter
+    apostrophes/periods stay inside tokens, non-Latin letters tokenize
+    (the ASCII delimiter class dropped them entirely), CJK runs stay whole
+    (documented divergence — no ICU dictionary)."""
+    from iresearch_spark.analysis.analyzers import SegmentationAnalyzer
+
+    an = SegmentationAnalyzer()
+    cases = [
+        ("Hello, World! Can't stop.", ["hello", "world", "can't", "stop"]),
+        ("état Zürich naïve", ["état", "zürich", "naïve"]),
+        ("pi=3.14 v2.0 foo_bar", ["pi", "3.14", "v2.0", "foo_bar"]),
+        ("node.js end. a.b.c", ["node.js", "end", "a.b.c"]),
+        ("日本語テキスト test", ["日本語テキスト", "test"]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "content string")
+    got = [r["t"] for r in df.select(an.tokens(F.col("content")).alias("t")).collect()]
+    assert got == [exp for _, exp in cases]
+    # case option + stopword gaps flow through the standard surface
+    an2 = SegmentationAnalyzer(case="none", stopwords=("stop",))
+    got2 = (
+        spark.createDataFrame([("Can't STOP stop go",)], "content string")
+        .select(an2.tokens(F.col("content")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got2 == ["Can't", "STOP", "go"]
 
 
 # ---------------------------------------------------------------------------
