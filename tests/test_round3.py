@@ -218,6 +218,51 @@ def test_ngram_similarity_no_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_offsets_stream(spark, tmp_path):
+    """with_offsets: (a) decoded spans equal an independent re.finditer
+    oracle over the lowered text; (b) the non-offset columns are
+    byte-identical to a build without offsets."""
+    import re
+
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import SearchEngine
+
+    corpus = generate_corpus(spark, 300, seed=13).persist()
+    s1, s2 = IndexStore(str(tmp_path / "a")), IndexStore(str(tmp_path / "b"))
+    build_segment(spark, s1, corpus, "s", with_offsets=True)
+    build_segment(spark, s2, corpus, "s")
+    p1 = spark.read.parquet(s1.seg_path("s", "postings"))
+    p2 = spark.read.parquet(s2.seg_path("s", "postings"))
+    cols = p2.columns
+    assert sorted(map(tuple, p1.select(*cols).collect())) == sorted(
+        map(tuple, p2.collect())
+    )
+    eng = SearchEngine(spark, s1)
+    term = eng.term_stats.orderBy(F.desc("doc_freq")).limit(1).collect()[0]["term"]
+    got = {
+        r["gdoc"]: (list(r["starts"]), list(r["lens"]))
+        for r in eng.offsets([term]).collect()
+    }
+    # independent oracle: doc ids assigned by key rank, spans by finditer
+    rows = sorted(
+        corpus.select("repo", "path", "commit", "content").collect(),
+        key=lambda r: (r["repo"], r["path"], r["commit"]),
+    )
+    tok_rx = re.compile("[a-z0-9_]+")
+    exp = {}
+    for doc_id, r in enumerate(rows, start=1):
+        low = r["content"].lower()
+        spans = [
+            (m.start(), m.end() - m.start())
+            for m in tok_rx.finditer(low)
+            if m.group() == term
+        ]
+        if spans:
+            exp[doc_id] = ([s for s, _ in spans], [l for _, l in spans])
+    assert got == exp
+    corpus.unpersist()
+
+
 def test_exact_dedup_bounded_samples(spark):
     """exact_dedup: counts exact, sample_ids = the max_ids smallest ids,
     no per-group rank window (bounded buffers)."""
