@@ -525,6 +525,11 @@ _PARTIAL_SCHEMA = StructType(
         StructField("tfs_bin", BinaryType()),
         StructField("dls_bin", BinaryType()),
         StructField("pos_bin", BinaryType()),
+        # optional char-offset stream (the reference .pay offsets,
+        # formats_10.cpp:166-267): interleaved varints (start_delta, len)
+        # per occurrence, start delta reset per doc; offsets index the
+        # analyzer-cased text (== raw text offsets for ASCII)
+        StructField("off_bin", BinaryType()),
     ]
 )
 
@@ -546,12 +551,20 @@ def text_py_spec(analyzer: Analyzer) -> dict | None:
     }
 
 
-def _make_doc_packer(spec: dict, text_col: str, chunk_bits: int, with_positions: bool):
+def _make_doc_packer(
+    spec: dict,
+    text_col: str,
+    chunk_bits: int,
+    with_positions: bool,
+    with_offsets: bool = False,
+):
     """mapInPandas kernel: docs (doc_id, text) -> partial posting rows, one
     per (term, chunk) per input batch, plus one doclen row (term=NULL) per
     batch carrying (doc_id, dl) for every input doc — so the build needs
     exactly ONE tokenize pass (docmap reuses the doclen rows instead of
-    re-tokenizing the corpus)."""
+    re-tokenizing the corpus). with_offsets additionally records each
+    occurrence's (char start, length) in the cased text — the highlighting
+    payload (reference .pay stream) — via delimiter-span tokenization."""
     import re as _re
 
     rx = _re.compile(spec["delim"])
@@ -584,10 +597,35 @@ def _make_doc_packer(spec: dict, text_col: str, chunk_bits: int, with_positions:
                 texts = texts.map(lambda x: _fold(x) if isinstance(x, str) else x)
             if lower:
                 texts = texts.str.lower()
-            tok_lists = [
-                [t for t in rx.split(x) if t] if isinstance(x, str) else []
-                for x in texts
-            ]
+            if with_offsets:
+                # delimiter-span tokenize: tokens are the gaps between
+                # delimiter matches, so spans come for free
+                tok_lists = []
+                span_st: list[int] = []
+                span_ln: list[int] = []
+                for x in texts:
+                    if not isinstance(x, str):
+                        tok_lists.append([])
+                        continue
+                    toks = []
+                    prev = 0
+                    for dm in rx.finditer(x):
+                        s, e = dm.start(), dm.end()
+                        if s > prev:
+                            toks.append(x[prev:s])
+                            span_st.append(prev)
+                            span_ln.append(s - prev)
+                        prev = max(e, prev)
+                    if prev < len(x):
+                        toks.append(x[prev:])
+                        span_st.append(prev)
+                        span_ln.append(len(x) - prev)
+                    tok_lists.append(toks)
+            else:
+                tok_lists = [
+                    [t for t in rx.split(x) if t] if isinstance(x, str) else []
+                    for x in texts
+                ]
             lens = np.fromiter((len(l) for l in tok_lists), dtype=np.int64, count=n)
             total = int(lens.sum())
             out_frames = []
@@ -609,6 +647,9 @@ def _make_doc_packer(spec: dict, text_col: str, chunk_bits: int, with_positions:
                 kdoc_idx = doc_idx[keep]
                 kpos = pos[keep]
                 kc0 = codes[keep]
+                if with_offsets:
+                    kst = np.asarray(span_st, dtype=np.int64)[keep]
+                    kln = np.asarray(span_ln, dtype=np.int64)[keep]
                 if use_stem:
                     stemmed = np.empty(uniq.size, dtype=object)
                     for i, t in enumerate(uniq):
@@ -660,6 +701,18 @@ def _make_doc_packer(spec: dict, text_col: str, chunk_bits: int, with_positions:
                         np.subtract(p[1:], p[:-1], out=pdelta[1:])
                         pdelta[db] = p[db]
                         pos_buf, pos_ends = varint_encode_offsets(pdelta)
+                    if with_offsets:
+                        so = kst[order]
+                        lo = kln[order]
+                        sdelta = np.empty(m, dtype=np.int64)
+                        sdelta[0] = so[0]
+                        np.subtract(so[1:], so[:-1], out=sdelta[1:])
+                        sdelta[db] = so[db]  # start delta resets per doc
+                        ovals = np.empty(2 * m, dtype=np.int64)
+                        ovals[0::2] = sdelta
+                        ovals[1::2] = lo
+                        off_buf, off_ends = varint_encode_offsets(ovals)
+                        uo0 = np.concatenate(([0], off_ends))
                     ud0 = np.concatenate(([0], docs_ends))
                     ut0 = np.concatenate(([0], tfs_ends))
                     ul0 = np.concatenate(([0], dls_ends))
@@ -695,6 +748,14 @@ def _make_doc_packer(spec: dict, text_col: str, chunk_bits: int, with_positions:
                                     if with_positions
                                     else [None] * ug_starts.size
                                 ),
+                                "off_bin": (
+                                    [
+                                        off_buf[uo0[2 * s] : uo0[2 * e]]
+                                        for s, e in zip(tok_g_starts, g_tok_end)
+                                    ]
+                                    if with_offsets
+                                    else [None] * ug_starts.size
+                                ),
                             }
                         )
                     )
@@ -713,6 +774,7 @@ def _make_doc_packer(spec: dict, text_col: str, chunk_bits: int, with_positions:
                         "tfs_bin": [b""],
                         "dls_bin": [varint_encode(dl[sidx])],
                         "pos_bin": [None],
+                        "off_bin": [None],
                     }
                 )
             )
@@ -721,10 +783,11 @@ def _make_doc_packer(spec: dict, text_col: str, chunk_bits: int, with_positions:
     return fn
 
 
-def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, pos_bins, with_positions):
+def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, pos_bins, with_positions, off_bins=None):
     """Decode a partition's partial rows (already sorted by (term, chunk,
     first_doc)) into global per-unique-doc arrays + group boundaries.
-    Returns (docs, tfs, dls, pos_deltas, grp_first_part, grp_doc_start)."""
+    Returns (docs, tfs, dls, pos_deltas, off_vals, grp_first_part,
+    grp_doc_start, resorted)."""
     P = len(terms)
     doc_ends = np.cumsum(n_docs.astype(np.int64))
     doc_starts = doc_ends - n_docs
@@ -740,6 +803,11 @@ def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, 
     pos_deltas = (
         varint_decode(b"".join([b for b in pos_bins if b is not None]))
         if with_positions
+        else None
+    )
+    off_vals = (
+        varint_decode(b"".join([b for b in off_bins if b is not None]))
+        if off_bins is not None
         else None
     )
     # group = run of partial rows with equal (term, chunk)
@@ -764,29 +832,32 @@ def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, 
         grp_sizes = np.diff(np.append(grp_doc_start, total_docs))
         grp_of_doc = np.repeat(np.arange(G), grp_sizes)
         perm = np.lexsort((docs, grp_of_doc))
-        if with_positions:
+        if with_positions or off_vals is not None:
             tok_off = np.concatenate(([0], np.cumsum(tfs)))
             tot = int(tok_off[-1])
             seg_lens = tfs[perm]
             new_off = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
             gather = np.repeat(tok_off[perm] - new_off, seg_lens) + np.arange(tot)
-            pos_deltas = pos_deltas[gather]
+            if with_positions:
+                pos_deltas = pos_deltas[gather]
+            if off_vals is not None:
+                off_vals = off_vals.reshape(-1, 2)[gather].ravel()
         docs = docs[perm]
         tfs = tfs[perm]
         dls = dls[perm]
-    return docs, tfs, dls, pos_deltas, grp_first_part, grp_doc_start, not ok
+    return docs, tfs, dls, pos_deltas, off_vals, grp_first_part, grp_doc_start, not ok
 
 
-def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool):
+def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool, with_offsets: bool = False):
     """mapInPandas kernel over partials sorted by (term, _chunk, first_doc):
     concatenates the partition, merges each (term, chunk) group's partials,
-    and re-blocks at `block_size` docs. tf/dl/pos bytes are SLICED from the
-    concatenated input streams (values unchanged by re-blocking — only doc
-    deltas need re-encoding, since delta resets move to block starts)."""
+    and re-blocks at `block_size` docs. tf/dl/pos/off bytes are SLICED from
+    the concatenated input streams (values unchanged by re-blocking — only
+    doc deltas need re-encoding, since delta resets move to block starts)."""
     blocks_per_chunk = max(1, (1 << chunk_bits) // block_size)
 
     def fn(batches):
-        cols: dict[str, list] = {k: [] for k in ("term", "_chunk", "n_docs", "n_tok", "docs_bin", "tfs_bin", "dls_bin", "pos_bin")}
+        cols: dict[str, list] = {k: [] for k in ("term", "_chunk", "n_docs", "n_tok", "docs_bin", "tfs_bin", "dls_bin", "pos_bin", "off_bin")}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -802,10 +873,11 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool)
         tfs_bins = [b for lst in cols["tfs_bin"] for b in lst]
         dls_bins = [b for lst in cols["dls_bin"] for b in lst]
         pos_bins = [b for lst in cols["pos_bin"] for b in lst]
-        docs, tfs, dls, pos_deltas, grp_first_part, grp_doc_start, resorted = (
+        off_bins = [b for lst in cols["off_bin"] for b in lst] if with_offsets else None
+        docs, tfs, dls, pos_deltas, off_vals, grp_first_part, grp_doc_start, resorted = (
             _merge_partial_arrays(
                 terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins,
-                pos_bins, with_positions,
+                pos_bins, with_positions, off_bins,
             )
         )
         G = grp_first_part.size
@@ -844,6 +916,8 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool)
         max_tf = np.maximum.reduceat(tfs, bstart)
         min_dl = np.minimum.reduceat(dls, bstart)
         sum_tf = np.add.reduceat(tfs, bstart)
+        if with_positions or with_offsets:
+            tok_off = np.concatenate(([0], np.cumsum(tfs)))
         if with_positions:
             if resorted:
                 pos_buf, p_ends = varint_encode_offsets(pos_deltas)
@@ -851,7 +925,13 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool)
                 pos_buf = b"".join([b for b in pos_bins if b is not None])
                 p_ends = np.cumsum(varint_byte_lens(pos_deltas))
             p0 = np.concatenate(([0], p_ends))
-            tok_off = np.concatenate(([0], np.cumsum(tfs)))
+        if with_offsets:
+            if resorted:
+                off_buf, o_ends = varint_encode_offsets(off_vals)
+            else:
+                off_buf = b"".join([b for b in off_bins if b is not None])
+                o_ends = np.cumsum(varint_byte_lens(off_vals))
+            o0 = np.concatenate(([0], o_ends))
         block_id = chunks[grp_first_part][gidx] * blocks_per_chunk + intra
         out = pd.DataFrame(
             {
@@ -872,6 +952,11 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool)
             out["pos_bin"] = [
                 pos_buf[p0[tok_off[s]] : p0[tok_off[e]]] for s, e in zip(bstart, bend)
             ]
+        if with_offsets:
+            out["off_bin"] = [
+                off_buf[o0[2 * tok_off[s]] : o0[2 * tok_off[e]]]
+                for s, e in zip(bstart, bend)
+            ]
         # stream out in bounded slices (keeps Arrow batches reasonable)
         step = 65536
         for i in range(0, len(out), step):
@@ -887,6 +972,7 @@ def pack_docs_combined(
     block_size: int = BLOCK_SIZE,
     chunk_bits: int = DEFAULT_CHUNK_BITS,
     with_positions: bool = True,
+    with_offsets: bool = False,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Combiner build: docs -> (packed block rows, partials handle).
@@ -894,12 +980,13 @@ def pack_docs_combined(
     The returned `partials` DataFrame (persisted by the caller) also carries
     the per-doc lengths as term=NULL rows — `doclen_from_partials` projects
     them back out, so build_segment tokenizes the corpus exactly once.
-    Requires `text_py_spec(analyzer)` support; callers fall back to
-    tokenize_stream + pack_tokens otherwise."""
+    with_offsets adds the per-occurrence (char start, length) highlighting
+    stream (`off_bin`). Requires `text_py_spec(analyzer)` support; callers
+    fall back to tokenize_stream + pack_tokens otherwise."""
     spec = text_py_spec(analyzer)
     assert spec is not None, "analyzer lacks a python spec; use pack_tokens"
     partials = docs.select("doc_id", text_col).mapInPandas(
-        _make_doc_packer(spec, text_col, chunk_bits, with_positions),
+        _make_doc_packer(spec, text_col, chunk_bits, with_positions, with_offsets),
         _PARTIAL_SCHEMA,
     )
     n_part = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
@@ -923,8 +1010,10 @@ def pack_docs_combined(
     ]
     if with_positions:
         out_fields.append(StructField("pos_bin", BinaryType()))
+    if with_offsets:
+        out_fields.append(StructField("off_bin", BinaryType()))
     packed = post.mapInPandas(
-        _make_partial_merger(block_size, chunk_bits, with_positions),
+        _make_partial_merger(block_size, chunk_bits, with_positions, with_offsets),
         StructType(out_fields),
     )
     return packed, partials

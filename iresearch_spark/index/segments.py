@@ -293,13 +293,16 @@ def build_segment(
     doc_id_col: str | None = None,
     analyzer: Analyzer | None = None,
     with_positions: bool = True,
+    with_offsets: bool = False,
     commit: bool = True,
 ) -> SegmentMeta:
     """Build one immutable segment from a document slice and (optionally)
     commit it into the manifest. Idempotent per seg_name: rebuilding
     overwrites the same segment directory before the manifest swap, so a
     crash mid-build never corrupts the committed generation (resume =
-    re-run; the committed CURRENT still points at the old manifest)."""
+    re-run; the committed CURRENT still points at the old manifest).
+    with_offsets stores the per-occurrence (char start, length)
+    highlighting stream (combiner-path analyzers only)."""
     analyzer = analyzer or TextAnalyzer()
     key_cols = key_cols or ["repo", "path", "commit"]
 
@@ -325,10 +328,16 @@ def build_segment(
     if text_py_spec(analyzer) is not None:
         packed, partials = pack_docs_combined(
             docs, analyzer, text_col,
-            with_positions=with_positions, num_partitions=n_part,
+            with_positions=with_positions, with_offsets=with_offsets,
+            num_partitions=n_part,
         )
         partials = partials.persist()
     else:
+        if with_offsets:
+            raise ValueError(
+                "with_offsets requires a combiner-path analyzer "
+                "(text_py_spec); offsets need span-aware tokenization"
+            )
         tokens = tokenize_stream(docs, text_col, analyzer, with_positions)
         packed = pack_tokens(tokens, with_positions=with_positions, num_partitions=n_part)
     packed.write.mode("overwrite").parquet(store.seg_path(seg_name, "postings"))

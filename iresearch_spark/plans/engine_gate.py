@@ -247,6 +247,60 @@ def gate_store_pos0(spark: SparkSession, sf_dir: str):
     return store
 
 
+def gate_store_offsets(spark: SparkSession, sf_dir: str):
+    """Gate index built with the char-offset stream (with_offsets=True) —
+    the highlighting payload surface (reference .pay offsets)."""
+    from iresearch_spark.index.segments import IndexStore, build_segment
+
+    key = _fingerprint(sf_dir) + "-off"
+    if key in _STORES:
+        return _STORES[key]
+    root = os.path.join(CACHE_ROOT, key)
+    store = IndexStore(root)
+    if not os.path.exists(os.path.join(root, "CURRENT")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_segment(
+            spark, store, docs, "off0",
+            text_col="text", doc_id_col="doc_id", with_offsets=True,
+        )
+    _STORES[key] = store
+    return store
+
+
+def highlight_offsets_fn(term: str):
+    """Offsets surface, DuckDB-oracled: for every doc containing `term`,
+    emit (n_hits = occurrences via the offset stream, n_matches =
+    occurrences whose text substring at [start, start+len) equals the
+    term). The oracle computes tf per doc from scratch and asserts
+    n_hits == n_matches == tf — equality proves both the occurrence COUNT
+    and that every stored offset points at the right characters."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from iresearch_spark.search import SearchEngine
+
+        key = (_app_id(spark), _fingerprint(sf_dir), "off")
+        if key not in _ENGINES:
+            _ENGINES[key] = SearchEngine(spark, gate_store_offsets(spark, sf_dir))
+        offs = _ENGINES[key].offsets([term])
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        j = offs.join(docs, offs["gdoc"] == docs["doc_id"])
+        matches = F.zip_with(
+            "starts",
+            "lens",
+            lambda s, l: F.lower(F.col("text").substr(s + 1, l)) == F.lit(term),
+        )
+        return (
+            j.select(
+                F.col("gdoc").alias("doc_id"),
+                F.size("starts").cast("long").alias("n_hits"),
+                F.size(F.filter(matches, lambda m: m)).cast("long").alias("n_matches"),
+            )
+            .orderBy("doc_id")
+        )
+
+    return run
+
+
 def same_position_fn(terms: tuple[str, str], k: int = 100):
     """by_same_position through the engine's positional kernel over the
     increment-0 gram index: docs where some single WORD contains both

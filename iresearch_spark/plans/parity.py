@@ -200,6 +200,17 @@ ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
 LIMIT {k}"""
 
 
+def highlight_offsets_sql(d: str, term: str) -> str:
+    """Oracle for the offset (highlighting payload) stream: per doc
+    containing `term`, both the engine's offset-derived occurrence count
+    AND its substring-verified count must equal tf recomputed from
+    scratch."""
+    return f"""{tok_ctes(d)}
+SELECT doc_id, tf AS n_hits, tf AS n_matches
+FROM tf WHERE term = '{term}'
+ORDER BY doc_id"""
+
+
 def bm25_tiered_topk(d: str, term_like: str, scored_limit: int, k: int = 50) -> str:
     """Two-tier multiterm semantics (reference multiterm_query.cpp:36-71):
     only the top `scored_limit` matched terms (doc_freq desc, term asc —

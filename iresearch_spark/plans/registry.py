@@ -156,6 +156,11 @@ def build_registry() -> dict[str, dict]:
         "fn": G.same_position_fn(("or", "rt")),
         "duck": P.same_position_sql(P.DUCK, terms=["or", "rt"]),
     }
+    # --- offsets / highlighting payloads (reference .pay stream) ---
+    r["highlight_offsets"] = {
+        "fn": G.highlight_offsets_fn(HIGH),
+        "duck": P.highlight_offsets_sql(P.DUCK, HIGH),
+    }
     # --- scorer variants through the engine ---
     r["tfidf_high"] = _eng(
         lambda: Term(HIGH), P.tfidf_topk(P.DUCK, terms=[HIGH]), scorer="tfidf"

@@ -864,6 +864,72 @@ class SearchEngine:
             )
         return F.col(col).cast("float")
 
+    def offsets(self, terms: list[str]) -> DataFrame:
+        """Per-(doc, term) occurrence character spans from the index's
+        offset stream — the highlighting-consumer surface (reference .pay
+        offsets, formats_10.cpp:166-267). Requires a segment built with
+        with_offsets=True. Returns (gdoc, term, starts array<long>,
+        lens array<int>), starts indexing the analyzer-cased text."""
+        if "off_bin" not in self.postings.columns:
+            raise ValueError("index built without offsets (with_offsets=True)")
+        seg_base = self.seg_base
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                segs = pdf["segment"].to_numpy()
+                terms_a = pdf["term"].to_numpy()
+                docsb = pdf["docs_bin"].to_numpy()
+                tfsb = pdf["tfs_bin"].to_numpy()
+                offb = pdf["off_bin"].to_numpy()
+                out_g, out_t, out_s, out_l = [], [], [], []
+                for i in range(n):
+                    docs = delta_decode(varint_decode(docsb[i])).astype(
+                        np.int64
+                    ) + seg_base.get(segs[i], 0)
+                    tfs = varint_decode(tfsb[i]).astype(np.int64)
+                    ov = varint_decode(offb[i]).astype(np.int64)
+                    sd = ov[0::2]
+                    ln = ov[1::2]
+                    # absolute starts: global cumsum minus per-doc base
+                    c = np.cumsum(sd)
+                    tok_starts = np.concatenate(
+                        ([0], np.cumsum(tfs)[:-1])
+                    ).astype(np.int64)
+                    adjust = np.repeat(c[tok_starts] - sd[tok_starts], tfs)
+                    st = c - adjust
+                    split = np.cumsum(tfs)[:-1]
+                    out_g.append(docs)
+                    out_t.extend([terms_a[i]] * docs.size)
+                    out_s.extend(np.split(st, split))
+                    out_l.extend(np.split(ln.astype(np.int32), split))
+                if out_g:
+                    yield pd.DataFrame(
+                        {
+                            "gdoc": np.concatenate(out_g),
+                            "term": out_t,
+                            "starts": out_s,
+                            "lens": out_l,
+                        }
+                    )
+
+        from pyspark.sql.types import ArrayType, StringType
+
+        schema = StructType(
+            [
+                StructField("gdoc", LongType()),
+                StructField("term", StringType()),
+                StructField("starts", ArrayType(LongType())),
+                StructField("lens", ArrayType(IntegerType())),
+            ]
+        )
+        blocks = self.postings.where(F.col("term").isin(*terms)).select(
+            "segment", "term", "docs_bin", "tfs_bin", "off_bin"
+        )
+        return self._mask(blocks.mapInPandas(kernel, schema))
+
     def topk(self, node: Node, k: int = 10, wand: bool = True) -> DataFrame:
         """Top-k by (score desc, gdoc asc). Single-scan queries (term /
         multiterm / flat boolean / min-match) run the block-max WAND kernel
