@@ -199,6 +199,68 @@ def ivf_topk(
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+    candidates (side A exploded to its multiprobe neighborhood, equi-joined
+    on side B's bucket — never all-pairs), then exact float64 cosine >=
+    threshold verifies. Exact duplicates always share a bucket, so recall
+    on them is 1 by construction; near-dups at angle theta collide with
+    prob (1 - theta/pi)^n_planes per probe. Pair dedup happens on bare ids
+    BEFORE embeddings re-attach (the minhash_lsh_pairs discipline)."""
+    bucketed = hyperplane_lsh_buckets(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("id"), vec_col, "bucket"
+    )
+    probes = [0]
+    if multiprobe_bits >= 1:
+        probes += [1 << i for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        probes += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    a = bucketed.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probes])
+        ).alias("bucket"),
+    )
+    b = bucketed.select(F.col("id").alias("id_b"), "bucket")
+    cands = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    withv = cands.join(
+        bucketed.select(F.col("id").alias("id_a"), F.col(vec_col).alias("_va")),
+        "id_a",
+    ).join(
+        bucketed.select(F.col("id").alias("id_b"), F.col(vec_col).alias("_vb")),
+        "id_b",
+    )
+    dot = F.aggregate(
+        F.zip_with(_f64(F.col("_va")), _f64(F.col("_vb")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        withv.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     bucketed: DataFrame,
     query: list[float],

@@ -436,6 +436,44 @@ ORDER BY floor((d2.dot / (n1.nrm * (SELECT nrm FROM norms WHERE vec_id = {query_
 LIMIT {k}"""
 
 
+def embedding_neardup_sql(d: str, dup_below: int = 40, id_shift: int = 1_000_000, threshold: float = 0.999) -> str:
+    """All-pairs oracle for embedding-cosine near-dup pairs over the
+    DETERMINISTICALLY AUGMENTED table (vectors with vec_id < dup_below
+    duplicated at vec_id + id_shift): exact duplicates are the only pairs
+    >= threshold on this corpus (max natural pair cosine ~0.51), and LSH
+    recall on identical vectors is 1 by construction, so the banded engine
+    side must reproduce the quadratic scan exactly."""
+    if d == SPARK:
+        un = (
+            "SELECT vec_id, pos AS i, CAST(v AS DOUBLE) AS v "
+            "FROM aug LATERAL VIEW posexplode(embedding) t AS pos, v"
+        )
+    else:
+        un = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM aug"
+        )
+    return f"""WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {id_shift} AS vec_id, embedding FROM embeddings WHERE vec_id < {dup_below}
+),
+e AS ({un}),
+norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v * b.v) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b,
+       CAST(floor((dot / (na.nrm * nb.nrm)) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS cosine
+FROM dots
+JOIN norms na ON id_a = na.vec_id
+JOIN norms nb ON id_b = nb.vec_id
+WHERE dot / (na.nrm * nb.nrm) >= {threshold}e0
+ORDER BY id_a, id_b"""
+
+
 def event_window_sql(d: str) -> str:
     """Hourly windowed event aggregation (batch form of the watermarked
     streaming aggregation in iresearch_spark.streaming)."""

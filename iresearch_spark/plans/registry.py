@@ -425,6 +425,37 @@ def build_registry() -> dict[str, dict]:
         "fn": _simhash_pairs,
         "duck": P.simhash_pairs_sql(P.DUCK),
     }
+    def _emb_neardup(spark, sf_dir):
+        """Embedding-cosine near-dup (the last dedup tier): deterministic
+        fixture = the table plus exact duplicates of vec_id < 40 shifted by
+        1e6; the library finds pairs via LSH bucket candidates + exact
+        cosine verify, the oracle scans all pairs. Equality proves both the
+        pair set and the scores (dup recall is 1 by construction — an
+        identical vector always shares its bucket)."""
+        from pyspark.sql import functions as F
+
+        from iresearch_spark.functions.similarity import embedding_neardup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.limit(1).collect()[0]["embedding"])
+        aug = emb.select("vec_id", "embedding").unionAll(
+            emb.where("vec_id < 40").select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+            )
+        )
+        out = embedding_neardup_pairs(aug, dim, threshold=0.999, n_planes=8, multiprobe_bits=1)
+        return out.select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(floor(cosine * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)"
+            ).alias("cosine"),
+        ).orderBy("id_a", "id_b")
+
+    r["embedding_neardup_pairs"] = {
+        "fn": _emb_neardup,
+        "duck": P.embedding_neardup_sql(P.DUCK),
+    }
     r["ann_lsh_topk"] = {
         "fn": _lsh_ann,
         "duck": (

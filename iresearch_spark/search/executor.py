@@ -454,6 +454,13 @@ class SearchEngine:
             .persist()
         )
         self._docmap = store.read_union(spark, "docmap").select("segment", "doc_id")
+        # driver-side term dictionary (lazy): for vocabularies up to
+        # VOCAB_CACHE_MAX the whole (term, doc_freq) table is pulled to the
+        # driver once, so Term/Prefix/Wildcard/Range expansion is a local
+        # lookup instead of a Spark job per query — the reference reads its
+        # term dictionary from mmap'd FST for the same reason. Fuzzy stays
+        # on the SQL path (JVM levenshtein beats a Python loop).
+        self._vocab: tuple[list[str], list[int]] | None | bool = False
         # live-delete mask (reference index_writer Remove(),
         # index_writer.hpp:381-416): deletes stay visible as a query-time
         # tombstone mask until a merge physically drops them
@@ -500,8 +507,35 @@ class SearchEngine:
             return hits.join(self._tomb_gdocs, "gdoc", "left_anti")
         return hits
 
+    VOCAB_CACHE_MAX = 1_000_000
+
+    def _vocab_pairs(self) -> tuple[list[str], list[int]] | None:
+        """(terms sorted asc, doc_freqs aligned) — or None when the
+        dictionary is too large to hold on the driver."""
+        if self._vocab is False:
+            if self.term_stats.count() > self.VOCAB_CACHE_MAX:
+                self._vocab = None
+            else:
+                rows = self.term_stats.orderBy("term").collect()
+                self._vocab = (
+                    [r["term"] for r in rows],
+                    [r["doc_freq"] for r in rows],
+                )
+        return self._vocab
+
     def _stats_for(self, terms: list[str]) -> dict[str, int]:
         """Batched doc_freq lookup: one driver roundtrip for many terms."""
+        vocab = self._vocab_pairs()
+        if vocab is not None:
+            import bisect
+
+            vt, vd = vocab
+            out = {}
+            for t in terms:
+                i = bisect.bisect_left(vt, t)
+                if i < len(vt) and vt[i] == t:
+                    out[t] = vd[i]
+            return out
         rows = self.term_stats.where(F.col("term").isin(*terms)).collect()
         return {r["term"]: r["doc_freq"] for r in rows}
 
@@ -540,12 +574,69 @@ class SearchEngine:
             return ts.where(cond), leaf.scored_terms_limit
         raise TypeError(f"not an expandable leaf: {leaf}")
 
+    def _vocab_matches(self, leaf: Node) -> list[tuple[str, int]] | None:
+        """Driver-local expansion against the cached dictionary (sorted
+        terms + bisect for prefix/range, compiled regex for wildcard) —
+        zero Spark jobs. None -> caller falls back to the SQL path."""
+        vocab = self._vocab_pairs()
+        if vocab is None or isinstance(leaf, Fuzzy):
+            return None
+        import bisect
+
+        vt, vd = vocab
+        if isinstance(leaf, (Term, Terms)):
+            wanted = [leaf.term] if isinstance(leaf, Term) else list(leaf.terms)
+            stats = self._stats_for(wanted)
+            return [(t, stats[t]) for t in sorted(stats)]
+        if isinstance(leaf, Prefix):
+            p = leaf.prefix
+            lo = bisect.bisect_left(vt, p)
+            # upper bound: smallest string > every p-prefixed string
+            # (increment the last non-max char of p)
+            hi = len(vt)
+            for j in range(len(p) - 1, -1, -1):
+                if ord(p[j]) < 0x10FFFF:
+                    hi = bisect.bisect_left(vt, p[:j] + chr(ord(p[j]) + 1))
+                    break
+            return [(vt[i], vd[i]) for i in range(lo, hi)]
+        if isinstance(leaf, Range):
+            lo = 0
+            if leaf.min_term is not None:
+                lo = (
+                    bisect.bisect_left(vt, leaf.min_term)
+                    if leaf.include_min
+                    else bisect.bisect_right(vt, leaf.min_term)
+                )
+            hi = len(vt)
+            if leaf.max_term is not None:
+                hi = (
+                    bisect.bisect_right(vt, leaf.max_term)
+                    if leaf.include_max
+                    else bisect.bisect_left(vt, leaf.max_term)
+                )
+            return [(vt[i], vd[i]) for i in range(lo, hi)]
+        if isinstance(leaf, Wildcard):
+            import re
+
+            parts = []
+            for ch in leaf.pattern:
+                parts.append(".*" if ch == "*" else "." if ch == "?" else re.escape(ch))
+            rx = re.compile("^" + "".join(parts) + "$", re.DOTALL)
+            return [(t, d) for t, d in zip(vt, vd) if rx.match(t)]
+        return None
+
     def expand(self, leaf: Node) -> list[tuple[str, int]]:
         """Multiterm expansion against the term dictionary (term_stats).
 
         Top `scored_terms_limit` terms by (doc_freq desc, term asc) — the
         top_terms_collector analogue (core/search/top_terms_collector.hpp).
         """
+        local = self._vocab_matches(leaf)
+        if local is not None:
+            if isinstance(leaf, (Term, Terms)):
+                return local
+            local.sort(key=lambda p: (-p[1], p[0]))
+            return local[: leaf.scored_terms_limit]
         df, limit = self._leaf_term_matches(leaf)
         return self._collect_expansion(df, limit)
 
@@ -561,6 +652,11 @@ class SearchEngine:
         the matched term_stats rows; the gate sizes never get there."""
         if isinstance(leaf, (Term, Terms)):
             return self.expand(leaf), []
+        local = self._vocab_matches(leaf)
+        if local is not None:
+            local.sort(key=lambda p: (-p[1], p[0]))
+            limit = leaf.max_terms if isinstance(leaf, Fuzzy) else leaf.scored_terms_limit
+            return local[:limit], [t for t, _ in local[limit:]]
         df, limit = self._leaf_term_matches(leaf)
         rows = df.orderBy(F.desc("doc_freq"), F.asc("term")).collect()
         pairs = [(r["term"], r["doc_freq"]) for r in rows]
@@ -863,6 +959,13 @@ class SearchEngine:
                 f"CAST(floor(({col}) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)"
             )
         return F.col(col).cast("float")
+
+    def prepare_dictionary(self) -> None:
+        """Eagerly pull the term dictionary to the driver (when it fits) —
+        the engine-open warm-up a server would do once; afterwards every
+        Term/Prefix/Wildcard/Range expansion is a local lookup with no
+        Spark job."""
+        self._vocab_pairs()
 
     def offsets(self, terms: list[str]) -> DataFrame:
         """Per-(doc, term) occurrence character spans from the index's
