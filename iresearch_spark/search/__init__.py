@@ -7,6 +7,7 @@ from iresearch_spark.search.query import (  # noqa: F401
     Or,
     Phrase,
     Prefix,
+    Proxy,
     Range,
     SamePosition,
     Term,

@@ -73,6 +73,7 @@ from iresearch_spark.search.query import (
     Or,
     Phrase,
     Prefix,
+    Proxy,
     Range,
     SamePosition,
     Term,
@@ -461,6 +462,8 @@ class SearchEngine:
         # term dictionary from mmap'd FST for the same reason. Fuzzy stays
         # on the SQL path (JVM levenshtein beats a Python loop).
         self._vocab: tuple[list[str], list[int]] | None | bool = False
+        # proxy_filter cache: normalized child (+boost) -> persisted hits
+        self._proxy_cache: dict = {}
         # live-delete mask (reference index_writer Remove(),
         # index_writer.hpp:381-416): deletes stay visible as a query-time
         # tombstone mask until a merge physically drops them
@@ -889,6 +892,15 @@ class SearchEngine:
             (Term, Terms, Prefix, Wildcard, Fuzzy, Range, Phrase, SamePosition, VarPhrase),
         ):
             return self._leaf_hits(node, boost)
+        if isinstance(node, Proxy):
+            # cached filter (proxy_filter.cpp): compute the child's scored
+            # hits ONCE per engine, persist, reuse for every equal Proxy
+            key = (repr(node.child), boost * node.boost, self._score_t)
+            cached = self._proxy_cache.get(key)
+            if cached is None:
+                cached = self._eval(node.child, boost * node.boost).persist()
+                self._proxy_cache[key] = cached
+            return cached
         if isinstance(node, Not):
             # lone NOT = all docs minus child (boolean_filter.cpp:83-87)
             child = self._eval(node.child, boost)

@@ -132,6 +132,19 @@ class SamePosition(Node):
 
 
 @dataclass(frozen=True)
+class Proxy(Node):
+    """Cached-filter wrapper (core/search/proxy_filter.cpp): the wrapped
+    filter's hit set is computed once per engine and reused by every later
+    execution of an equal Proxy node — the reference caches a per-segment
+    bitset; here the scored hit DataFrame is persisted in the engine's
+    proxy cache, keyed by the normalized child. Boost applies at reuse
+    time (cached scores are scaled, not recomputed)."""
+
+    child: Node = None  # type: ignore[assignment]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class All(Node):
     """Match-all with constant score = boost (core/search/all_filter.cpp)."""
 
@@ -171,6 +184,12 @@ class Or(Node):
 
 def normalize(node: Node) -> Node:
     """Apply the rewrite rules bottom-up until fixpoint-free output."""
+    if isinstance(node, Proxy):
+        child = normalize(node.child)
+        if isinstance(child, Empty):
+            return Empty()
+        return Proxy(child=child, boost=node.boost)
+
     if isinstance(node, Not):
         child = normalize(node.child)
         if isinstance(child, Not):  # double negation

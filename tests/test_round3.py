@@ -263,6 +263,30 @@ def test_offsets_stream(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_proxy_filter_cache(spark, tmp_path):
+    """Proxy(child): equal proxies reuse ONE persisted hit set; results
+    identical to the bare child; boost applies at evaluation."""
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import And, Proxy, SearchEngine, Term
+
+    store = IndexStore(str(tmp_path / "p"))
+    corpus = generate_corpus(spark, 400, seed=21)
+    build_segment(spark, store, corpus, "s0")
+    eng = SearchEngine(spark, store)
+    node = Proxy(child=And((Term("def"), Term("return"))))
+    r1 = sorted((r["gdoc"], r["score"]) for r in eng.execute(node).collect())
+    assert len(eng._proxy_cache) == 1
+    cached_df = next(iter(eng._proxy_cache.values()))
+    assert cached_df.storageLevel.useMemory
+    r2 = sorted((r["gdoc"], r["score"]) for r in eng.execute(node).collect())
+    assert len(eng._proxy_cache) == 1  # second execution hit the cache
+    bare = sorted(
+        (r["gdoc"], r["score"])
+        for r in eng.execute(And((Term("def"), Term("return")))).collect()
+    )
+    assert r1 == r2 == bare and r1
+
+
 def test_exact_dedup_bounded_samples(spark):
     """exact_dedup: counts exact, sample_ids = the max_ids smallest ids,
     no per-group rank window (bounded buffers)."""
