@@ -200,6 +200,35 @@ ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
 LIMIT {k}"""
 
 
+def nested_parents_sql(d: str, term: str, min_children: int = 2, k: int = 10) -> str:
+    """Oracle for the ByNestedFilter analogue: parent = `source` group;
+    parent matches when >= min_children children match the term; parent
+    score = kAvg merge (SUM/COUNT — the engine evaluates the identical
+    expression; 6dp rounding absorbs summation order)."""
+    return f"""{tok_ctes(d)},
+hits AS (
+  SELECT tf.doc_id AS doc_id, {SCORE_EXPR} AS s
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  WHERE tf.term = '{term}'
+),
+par AS (
+  SELECT d.source AS parent,
+         CAST(count(*) AS BIGINT) AS n_children,
+         SUM(h.s) / count(*) AS raw
+  FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+  GROUP BY d.source
+  HAVING count(*) >= {min_children}
+)
+SELECT parent, n_children,
+       CAST(floor((raw) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM par
+ORDER BY floor((raw) * 1000000e0 + 0.5e0) / 1000000e0 DESC, parent
+LIMIT {k}"""
+
+
 def highlight_offsets_sql(d: str, term: str) -> str:
     """Oracle for the offset (highlighting payload) stream: per doc
     containing `term`, both the engine's offset-derived occurrence count

@@ -156,6 +156,19 @@ def build_registry() -> dict[str, dict]:
         "fn": G.same_position_fn(("or", "rt")),
         "duck": P.same_position_sql(P.DUCK, terms=["or", "rt"]),
     }
+    # --- ByNestedFilter analogue: parent/child block join as hierarchical
+    # aggregation over the columnstore's parent key (nested_filter.cpp:693;
+    # parent = `source`, kAvg child-score merge, match range >= 2)
+    def _nested(spark, sf_dir):
+        eng = G.gate_engine(spark, sf_dir)
+        return eng.nested_topk(
+            Term(HIGH), k=10, parent_col="source", merge="avg", min_children=2
+        )
+
+    r["nested_parents"] = {
+        "fn": _nested,
+        "duck": P.nested_parents_sql(P.DUCK, HIGH, min_children=2),
+    }
     # --- offsets / highlighting payloads (reference .pay stream) ---
     r["highlight_offsets"] = {
         "fn": G.highlight_offsets_fn(HIGH),

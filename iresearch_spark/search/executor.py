@@ -972,6 +972,55 @@ class SearchEngine:
             )
         return F.col(col).cast("float")
 
+    def nested_topk(
+        self,
+        child_node: Node,
+        k: int = 10,
+        parent_col: str = "source",
+        merge: str = "avg",
+        min_children: int = 1,
+        max_children: int | None = None,
+    ) -> DataFrame:
+        """ByNestedFilter analogue (core/search/nested_filter.cpp:693): a
+        PARENT matches when the number of its children matching
+        `child_node` lies in [min_children, max_children]; the parent's
+        score merges its matching children's scores (the reference's
+        ScoreMode kSum/kMax/kMin/kAvg).
+
+        Spark-first restatement: the reference needs doc-block adjacency
+        (children stored physically before their parent) because it
+        streams one segment; here the columnstore (docmap) carries the
+        parent key per child, so the block join IS a hierarchical
+        aggregation — child hits join their parent key and reduce. Output:
+        (parent, n_children, score) by (score desc, parent asc) limit k."""
+        hits = self._mask(self._eval(normalize(child_node)))
+        parents = self.store.read_union(self.spark, "docmap").select(
+            (F.col("doc_id") + self._base_map()[F.col("segment")]).alias("gdoc"),
+            F.col(parent_col).alias("parent"),
+        )
+        agg_fn = {
+            "sum": F.sum("score"),
+            "max": F.max("score"),
+            "min": F.min("score"),
+            # avg as SUM/COUNT — the exact expression the oracle evaluates
+            "avg": F.sum("score") / F.count("*"),
+        }[merge]
+        agg = (
+            hits.join(parents, "gdoc")
+            .groupBy("parent")
+            .agg(
+                F.count("*").alias("n_children"),
+                agg_fn.cast("double").alias("_s"),
+            )
+            .where(F.col("n_children") >= min_children)
+        )
+        if max_children is not None:
+            agg = agg.where(F.col("n_children") <= max_children)
+        out = agg.select(
+            "parent", "n_children", self._final_score("_s").alias("score")
+        )
+        return out.orderBy(F.desc("score"), F.asc("parent")).limit(k)
+
     def prepare_dictionary(self) -> None:
         """Eagerly pull the term dictionary to the driver (when it fits) —
         the engine-open warm-up a server would do once; afterwards every

@@ -24,6 +24,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cpu_steal_jiffies() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:9]))
+    return v[7], sum(v)  # (steal, total)
+
+
 def run_measurement(cores: int, docs: int, n_queries: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -61,9 +67,15 @@ def run_measurement(cores: int, docs: int, n_queries: int) -> dict:
     warm = IndexStore(tempfile.mkdtemp(prefix=f"warm{cores}_"))
     build_segment(spark, warm, corpus.limit(500), "w")
     shutil.rmtree(warm.root, ignore_errors=True)
+    s0, j0 = _cpu_steal_jiffies()
     t0 = time.time()
     build_segment(spark, store, corpus, "s0")
     build_sec = time.time() - t0
+    s1, j1 = _cpu_steal_jiffies()
+    # hypervisor steal during the build window (machine-wide %): this VM
+    # has noisy neighbors; per-run steal is recorded so the ledger can
+    # show which samples ran degraded
+    steal_pct = round(100.0 * (s1 - s0) / max(1, j1 - j0), 2)
     corpus.unpersist()
 
     eng = SearchEngine(spark, store)
@@ -85,6 +97,7 @@ def run_measurement(cores: int, docs: int, n_queries: int) -> dict:
         "docs": docs,
         "build_sec": round(build_sec, 3),
         "docs_per_sec": round(docs / build_sec, 1),
+        "build_steal_pct": steal_pct,
         "n_queries": n_queries,
         "query_sec": round(query_sec, 3),
         "queries_per_sec": round(n_queries / query_sec, 2),
@@ -108,44 +121,64 @@ def main() -> int:
         print(json.dumps(run_measurement(args.cores, args.docs, args.queries)))
         return 0
 
-    results = {}
-    all_runs = {}
-    for cores in (args.lo, args.hi):
-        runs = []
-        for _ in range(args.repeats):
-            # OS-level affinity for the WHOLE process tree: the JVM flags
-            # below pin JVM helper threads, but Python UDF workers are
-            # separate processes the JVM cannot pin — without taskset a
-            # local[2] job silently borrows extra physical cores for its
-            # Python workers and the low-N leg measures more than 2 cores.
-            # taskset affinity is inherited by every forked worker, so
-            # local[N] means exactly N CPUs end to end.
-            cmd = [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs), "--queries", str(args.queries)]
-            if os.path.exists("/usr/bin/taskset"):
-                cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
-            out = subprocess.run(
-                cmd,
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            runs.append(json.loads(line))
-        runs.sort(key=lambda r: r["docs_per_sec"])
-        all_runs[cores] = runs
-        results[cores] = runs[len(runs) // 2]  # median by build throughput
+    def one_run(cores: int) -> dict:
+        # OS-level affinity for the WHOLE process tree: the JVM flags pin
+        # JVM helper threads, but Python UDF workers are separate processes
+        # the JVM cannot pin — without taskset a local[2] job silently
+        # borrows extra physical cores for its Python workers and the low-N
+        # leg measures more than 2 cores. taskset affinity is inherited by
+        # every forked worker, so local[N] means exactly N CPUs end to end.
+        cmd = [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs), "--queries", str(args.queries)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
+        out = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
 
-    lo, hi = results[args.lo], results[args.hi]
+    # INTERLEAVED lo/hi pairs: this VM has noisy neighbors (nonzero
+    # hypervisor steal) whose intensity drifts on a minutes timescale —
+    # running all-lo-then-all-hi lets that drift corrupt the ratio. Each
+    # back-to-back (lo, hi) pair samples one noise regime; the reported
+    # efficiency is the MEDIAN of per-pair efficiencies, and per-run steal
+    # percentages are recorded so degraded samples are visible.
     ratio = args.hi / args.lo
+    pairs = []
+    all_runs = {args.lo: [], args.hi: []}
+    for _ in range(args.repeats):
+        lo_run = one_run(args.lo)
+        hi_run = one_run(args.hi)
+        all_runs[args.lo].append(lo_run)
+        all_runs[args.hi].append(hi_run)
+        eff = (hi_run["docs_per_sec"] / lo_run["docs_per_sec"]) / ratio
+        pairs.append((eff, lo_run, hi_run))
+    pairs.sort(key=lambda t: t[0])
+    build_eff, lo, hi = pairs[len(pairs) // 2]  # median pair
     build_speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
-    build_eff = build_speedup / ratio
     query_speedup = hi["queries_per_sec"] / lo["queries_per_sec"]
     query_eff = query_speedup / ratio
+    # Best-of-N per leg: hypervisor contention is ONE-SIDED (it only ever
+    # slows a run — throughput is bounded above by the machine's true
+    # capability), so the max over repeats is the standard noise-robust
+    # estimator of each leg, exactly like taking min-of-N in
+    # microbenchmark timing. A pinned 1-core leg has zero slack to absorb
+    # a stolen core, so it is hit hardest by neighbors.
+    best_lo = max(all_runs[args.lo], key=lambda r: r["docs_per_sec"])
+    best_hi = max(all_runs[args.hi], key=lambda r: r["docs_per_sec"])
+    best_eff = (best_hi["docs_per_sec"] / best_lo["docs_per_sec"]) / ratio
     summary = {
         "lo": lo,
         "hi": hi,
         "build_speedup": round(build_speedup, 3),
         "build_scaling_efficiency": round(build_eff, 3),
+        "pair_efficiencies": [round(e, 3) for e, _, _ in sorted(pairs, key=lambda t: t[0])],
+        "best_lo_docs_per_sec": best_lo["docs_per_sec"],
+        "best_hi_docs_per_sec": best_hi["docs_per_sec"],
+        "best_build_scaling_efficiency": round(best_eff, 3),
         "query_speedup": round(query_speedup, 3),
         "query_scaling_efficiency": round(query_eff, 3),
     }
@@ -177,9 +210,11 @@ host), so adding cores cannot reduce it:
 |---|---|---|
 | mean BM25 top-10 latency (s) | {lo['query_sec']/lo['n_queries']:.2f} | {hi['query_sec']/hi['n_queries']:.2f} |
 
-Raw (median of {args.repeats} run(s) per level, by build throughput):
-lo runs: {json.dumps([r['docs_per_sec'] for r in all_runs[args.lo]])}
-hi runs: {json.dumps([r['docs_per_sec'] for r in all_runs[args.hi]])}
+Raw ({args.repeats} interleaved (lo, hi) pair(s); reported = MEDIAN
+per-pair efficiency; per-run hypervisor steal%% recorded):
+pair efficiencies: {json.dumps(summary['pair_efficiencies'])}
+lo runs (docs/s, steal%): {json.dumps([(r['docs_per_sec'], r.get('build_steal_pct')) for r in all_runs[args.lo]])}
+hi runs (docs/s, steal%): {json.dumps([(r['docs_per_sec'], r.get('build_steal_pct')) for r in all_runs[args.hi]])}
 lo={json.dumps(lo)}
 hi={json.dumps(hi)}
 

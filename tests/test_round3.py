@@ -287,6 +287,71 @@ def test_proxy_filter_cache(spark, tmp_path):
     assert r1 == r2 == bare and r1
 
 
+def test_nested_topk(spark, tmp_path):
+    """ByNestedFilter analogue: parent score = merged child scores, match
+    range respected; checked against a manual per-parent aggregation of
+    the engine's own (independently oracled) child hits."""
+    import numpy as np
+
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import SearchEngine, Term
+
+    store = IndexStore(str(tmp_path / "n"))
+    corpus = generate_corpus(spark, 500, seed=9)
+    build_segment(spark, store, corpus, "s0")
+    eng = SearchEngine(spark, store)
+    got = eng.nested_topk(
+        Term("def"), k=8, parent_col="repo", merge="avg", min_children=2
+    ).collect()
+    hits = {r["gdoc"]: r["score"] for r in eng.execute(Term("def")).collect()}
+    par = {
+        r["doc_id"]: r["repo"]
+        for r in store.read(spark, "s0", "docmap").select("doc_id", "repo").collect()
+    }
+    agg: dict = {}
+    for gdoc, sc in hits.items():
+        agg.setdefault(par[gdoc], []).append(sc)
+    manual = [
+        (p, len(v), float(np.float32(np.sum(np.asarray(v, np.float64)) / len(v))))
+        for p, v in agg.items()
+        if len(v) >= 2
+    ]
+    manual.sort(key=lambda t: (-t[2], t[0]))
+    exp = manual[:8]
+    assert [(r["parent"], r["n_children"]) for r in got] == [
+        (p, n) for p, n, _ in exp
+    ]
+    for r, (_, _, s) in zip(got, exp):
+        assert abs(r["score"] - s) < 1e-5
+
+
+def test_submit_query_task_parsing():
+    """Reference benchmark task grammar (iresearch-benchmark.tasks /
+    index-search.cpp:240-449) -> filter trees, no Spark needed."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_query",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "submit_query.py"),
+    )
+    sq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sq)
+    from iresearch_spark.search import And, Fuzzy, Or, Phrase, Prefix, Term, Wildcard
+
+    assert sq.parse_task("HighTerm", "Ref") == Term("ref")
+    assert sq.parse_task("AndHighMed", "+ref +code") == And((Term("ref"), Term("code")))
+    assert sq.parse_task("OrHighMed", "ref code") == Or((Term("ref"), Term("code")))
+    assert sq.parse_task("LowPhrase", '"Big Bad Wolf"') == Phrase(("big", "bad", "wolf"))
+    assert sq.parse_task("Prefix3", "sec*") == Prefix("sec")
+    assert sq.parse_task("Wildcard", "re*f") == Wildcard("re*f")
+    assert sq.parse_task("Fuzzy1", "refugees") == Fuzzy("refugees", distance=1)
+    assert sq.parse_task("Fuzzy2", "refugees") == Fuzzy("refugees", distance=2)
+    assert sq.parse_task("MinMatch2High2Med", "2 ref http code span") == Or(
+        (Term("ref"), Term("http"), Term("code"), Term("span")), min_match=2
+    )
+
+
 def test_exact_dedup_bounded_samples(spark):
     """exact_dedup: counts exact, sample_ids = the max_ids smallest ids,
     no per-group rank window (bounded buffers)."""
