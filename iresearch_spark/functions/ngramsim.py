@@ -76,7 +76,10 @@ def ngram_match_topk(
     Pure Catalyst, zero shuffle before the final top-k: grams and the
     distinct-match count are array expressions inside the doc row."""
     grams = [" ".join(query_terms[i : i + n]) for i in range(len(query_terms) - n + 1)]
-    total = len(grams)
+    # DISTINCT query grams on both sides of the ratio: `matched` counts
+    # distinct grams, so a query with repeated n-grams must not inflate the
+    # denominator (it could otherwise never reach score 1.0)
+    total = len(set(grams))
     ms = _match_array(text_col, grams, stopwords)
     matched = F.size(F.array_distinct(F.transform(ms, lambda s: s["bg"])))
     out = docs.select(

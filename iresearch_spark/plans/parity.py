@@ -284,13 +284,27 @@ def field_stats_sql(d: str) -> str:
 SELECT n_docs, sum_len, CAST(floor((avgdl) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS avg_dl FROM stats"""
 
 
-def dedup_exact_sql(d: str) -> str:
-    """Exact duplicate groups by full text (hash-groupBy dedup)."""
+def dedup_exact_sql(d: str, dup_below: int = 25, id_shift: int = 1_000_000) -> str:
+    """Exact duplicate groups by full text (hash-groupBy dedup) over the
+    deterministically augmented corpus (docs with doc_id < dup_below
+    duplicated at doc_id + id_shift — matching the registry's fixture, so
+    the groups are non-empty and sample_ids is pinned too)."""
     h = "sha2(text, 256)" if d == SPARK else "sha256(text)"
-    return f"""SELECT {h} AS text_sha256,
+    ids = (
+        "array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')"
+        if d == SPARK
+        else "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)"
+    )
+    return f"""WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {id_shift} AS doc_id, text FROM documents WHERE doc_id < {dup_below}
+)
+SELECT {h} AS text_sha256,
        CAST(min(doc_id) AS BIGINT) AS keep_doc,
-       CAST(count(*) AS BIGINT) AS n_copies
-FROM documents
+       CAST(count(*) AS BIGINT) AS n_copies,
+       {ids} AS sample_ids
+FROM aug
 GROUP BY {h}
 HAVING count(*) > 1
 ORDER BY keep_doc"""
@@ -714,7 +728,7 @@ def ngram_similarity_sql(d: str, query_terms: list[str], n: int = 2, threshold: 
     subset here scores by matched-ngram fraction.)"""
     grams = [" ".join(query_terms[i : i + n]) for i in range(len(query_terms) - n + 1)]
     gram_list = ", ".join(f"'{g}'" for g in grams)
-    total = len(grams)
+    total = len(set(grams))  # matched counts DISTINCT grams; so must total
     return f"""{tok_ctes(d)},
 big AS (
   SELECT DISTINCT t0.doc_id AS doc_id, t0.term || ' ' || t1.term AS bg

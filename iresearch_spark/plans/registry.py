@@ -247,21 +247,33 @@ def build_registry() -> dict[str, dict]:
         token_counts,
     )
 
-    # exact dedup through the library op (r2 ran a SQL twin; the r3 gate
-    # executes functions/dedup.exact_dedup — sha-keyed groupBy, bounded
-    # sample buffers). The oracle recomputes groups from scratch in DuckDB.
+    # exact dedup through the library op (functions/dedup.exact_dedup —
+    # sha-keyed groupBy, bounded sample buffers) over a DETERMINISTIC
+    # duplicated-slice fixture: the r3 row compared 0 rows to 0 rows (the
+    # corpus has no natural exact dups — a vacuous oracle, r3 VERDICT
+    # wrong-2/next-2). Docs with doc_id < 25 are unioned back shifted by
+    # 1e6, so every group has n_copies >= 2 and a real sample_ids list the
+    # oracle recomputes from scratch.
     def _dedup_exact(spark, sf_dir):
         from pyspark.sql import functions as F
 
         from iresearch_spark.functions.dedup import exact_dedup
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        aug = docs.select("doc_id", "text").unionAll(
+            docs.where("doc_id < 25").select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
         return (
-            exact_dedup(docs, ["text"], id_col="doc_id")
+            exact_dedup(aug, ["text"], id_col="doc_id")
             .select(
                 F.col("key_sha256").alias("text_sha256"),
                 "keep_doc",
                 "n_copies",
+                F.array_join(F.col("sample_ids").cast("array<string>"), ",").alias(
+                    "sample_ids"
+                ),
             )
             .orderBy("keep_doc")
         )
