@@ -130,6 +130,66 @@ def main() -> None:
         queries[f"gate_{name}"] = round(time.time() - t0, 3)
         release_cached(out_df)  # drop builder-attached caches (LSH sigs)
 
+    # ---- phase 4: big corpus (r4, VERDICT next-4/next-8) ----------------
+    # At 50k docs every query is fixed job overhead and WAND has nothing to
+    # skip (the pool fills after one block). This phase sizes the corpus so
+    # posting lists span hundreds of blocks, then measures wand vs nowand
+    # INTERLEAVED (min of repeats — ordering/warmup artifacts hit both
+    # variants equally) to pin where block-max pruning is net-positive.
+    big_docs = int(os.environ.get("IR_BENCH_BIG_DOCS", "600000"))
+    big_meta = {}
+    if big_docs:
+        broot = tempfile.mkdtemp(prefix="irbig_")
+        bstore = IndexStore(broot)
+        bcorpus = generate_corpus(spark, big_docs, seed=43).persist()
+        bcorpus.count()
+        t0 = time.time()
+        build_segment(spark, bstore, bcorpus, "big0")
+        big_build = time.time() - t0
+        bcorpus.unpersist()
+        queries["big_index_build"] = round(big_build, 3)
+        big_meta = {
+            "big_docs": big_docs,
+            "big_docs_per_sec": round(big_docs / big_build, 1),
+            "big_index_bytes": bstore.dir_bytes("big0"),
+        }
+        beng = SearchEngine(spark, bstore)
+        beng.prepare_dictionary()
+        bstats = (
+            beng.term_stats.orderBy(F.desc("doc_freq"), F.asc("term"))
+            .select("term", "doc_freq")
+            .collect()
+        )
+        bterms = [(r["term"], r["doc_freq"]) for r in bstats]
+        bhigh = bterms[0][0]
+        bmed = next(
+            (t for t, df in bterms if df <= bterms[0][1] / 10),
+            bterms[len(bterms) // 10][0],
+        )
+        beng.topk(Term(bmed), 10).collect()  # unmeasured warmup
+        for name, node in (
+            ("BigMedTerm", Term(bmed)),
+            ("BigAndHighMed", And((Term(bhigh), Term(bmed)))),
+            ("BigPrefix3", Prefix(bmed[:3] if len(bmed) >= 3 else bmed)),
+        ):
+            t0 = time.time()
+            beng.topk(node, 10).collect()
+            queries[name] = round(time.time() - t0, 3)
+        for name, node in (
+            ("BigHighTerm", Term(bhigh)),
+            ("BigOrHighMed", Or((Term(bhigh), Term(bmed)))),
+        ):
+            tw, tn = [], []
+            for r in range(3):  # interleave, alternate order per repeat
+                order = [(True, tw), (False, tn)] if r % 2 == 0 else [(False, tn), (True, tw)]
+                for wand_on, sink in order:
+                    t0 = time.time()
+                    beng.topk(node, 10, wand=wand_on).collect()
+                    sink.append(time.time() - t0)
+            queries[name] = round(min(tw), 3)
+            queries[f"{name}_nowand"] = round(min(tn), 3)
+        shutil.rmtree(broot, ignore_errors=True)
+
     total = time.time() - t_all
     out = {
         "metric": "index-build docs/sec + BM25 top-10 latency (packed engine, local)",
@@ -141,6 +201,7 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "cpus": cpus,
         "index_bytes": store.dir_bytes("bench0"),
+        **big_meta,
     }
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

@@ -200,6 +200,15 @@ def assign_doc_ids(
             return
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
         pid = int(pdf["_pid"].iloc[0])
+        if pdf[keys].isnull().any().any():
+            # NULL keys sort FIRST in Spark's range partitioning but LAST in
+            # pandas sort_values — the assigned ids would no longer equal
+            # the documented global row_number() rank. Fail fast instead of
+            # silently diverging (r3 ADVICE).
+            raise ValueError(
+                f"assign_doc_ids: NULL in key columns {keys}; ids require "
+                "non-null keys (filter or fill before building)"
+            )
         # pandas str comparison is code-point order == Spark's UTF8 binary
         # order, so ranks match the SQL ORDER BY exactly
         pdf = pdf.sort_values(keys, kind="mergesort").reset_index(drop=True)
@@ -995,6 +1004,15 @@ def pack_docs_combined(
         .repartition(n_part, "term", "_chunk")
         .sortWithinPartitions("term", "_chunk", "first_doc")
     )
+    packed = post.mapInPandas(
+        _make_partial_merger(block_size, chunk_bits, with_positions, with_offsets),
+        packed_schema(with_positions, with_offsets),
+    )
+    return packed, partials
+
+
+def packed_schema(with_positions: bool, with_offsets: bool = False) -> StructType:
+    """Schema of a committed postings table (block rows)."""
     out_fields = [
         StructField("term", StringType()),
         StructField("block_id", LongType()),
@@ -1012,11 +1030,7 @@ def pack_docs_combined(
         out_fields.append(StructField("pos_bin", BinaryType()))
     if with_offsets:
         out_fields.append(StructField("off_bin", BinaryType()))
-    packed = post.mapInPandas(
-        _make_partial_merger(block_size, chunk_bits, with_positions, with_offsets),
-        StructType(out_fields),
-    )
-    return packed, partials
+    return StructType(out_fields)
 
 
 def doclen_from_partials(partials: DataFrame) -> DataFrame:

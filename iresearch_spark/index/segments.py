@@ -185,7 +185,9 @@ class IndexStore:
         ]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # allowMissingColumns: a store can mix with_offsets and plain
+            # segments (scoring never reads off_bin; absent ones read null)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     # -- live deletes (tombstones) -------------------------------------------

@@ -57,6 +57,11 @@ class Scorer:
 class BM25(Scorer):
     k: float = 1.2
     b: float = 0.75
+    # opt-in kNorm2Tiny parity: when every doc length fits one byte the
+    # reference scores through a 256-entry reciprocal cache instead of the
+    # factored form (bm25.cpp:345-352 cache fill, :404-409 evaluation) —
+    # SURVEY.md §2.D's named rank-identity pitfall vs the reference binary
+    tiny_norms: bool = False
     name: str = "bm25"
 
     def idf(self, n: int, field: FieldStats) -> float:
@@ -71,6 +76,10 @@ class BM25(Scorer):
         kb = F32(self.k) * F32(self.b)
         k1b = F32(self.k) * F32(1.0 - self.b)
         inv_avg = F32(kb) / F32(field.avg_dl) if field.avg_dl else F32(0.0)
+        if self.tiny_norms:
+            return BM25TinyNormTermScorer(
+                c0=float(c0), c1_base=float(k1b), c1_slope=float(inv_avg)
+            )
         return BM25TermScorer(c0=float(c0), c1_base=float(k1b), c1_slope=float(inv_avg))
 
 
@@ -129,6 +138,42 @@ class BM25TermScorer(TermScorer):
 
     def term_ub(self) -> float:
         return float(F32(self.c0))  # tf -> inf: score -> c0
+
+
+@dataclass(frozen=True)
+class BM25TinyNormTermScorer(TermScorer):
+    """kNorm2Tiny reciprocal-cache evaluation (bm25.cpp:404-409): a
+    256-entry float32 cache of inv_c1(dl) = 1/(c1_base + c1_slope*dl)
+    (cache[0] = 0, bm25.cpp:345-352), then score = c0 - c0/(1 + tf*inv_c1).
+    Mathematically equal to the factored form but NOT bit-equal in float32
+    — the reciprocal rounds before the multiply — so ranks can diverge
+    from BM25TermScorer on near-tied docs; that divergence is exactly what
+    the reference binary exhibits on a 1-byte-norm segment. Requires every
+    dl <= 255 (asserted)."""
+
+    c0: float
+    c1_base: float
+    c1_slope: float
+
+    def __post_init__(self):
+        cache = np.empty(256, dtype=np.float32)
+        cache[0] = 0.0
+        i = np.arange(1, 256, dtype=np.float32)
+        cache[1:] = F32(1.0) / (F32(self.c1_base) + F32(self.c1_slope) * i)
+        object.__setattr__(self, "_cache", cache)
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        dli = np.asarray(dls).astype(np.int64, copy=False)
+        assert dli.size == 0 or (0 <= dli.min() and dli.max() <= 255), (
+            "tiny-norm mode requires 1-byte doc lengths (dl <= 255)"
+        )
+        inv_c1 = self._cache[dli]  # type: ignore[attr-defined]
+        tf = tfs.astype(np.float32, copy=False)
+        c0 = F32(self.c0)
+        return (c0 - c0 / (F32(1.0) + tf * inv_c1)).astype(np.float32, copy=False)
+
+    def term_ub(self) -> float:
+        return float(F32(self.c0))
 
 
 @dataclass(frozen=True)
@@ -261,6 +306,7 @@ _SCORERS = {
     "bm11": lambda **kw: BM25(b=1.0, **{k: v for k, v in kw.items() if k != "b"}),
     "bm1": lambda **kw: BM25(k=0.0, **{k: v for k, v in kw.items() if k != "k"}),
     "tfidf": lambda **kw: TFIDF(**kw),
+    "bm25_tiny": lambda **kw: BM25(tiny_norms=True, **kw),
     "bm25_precise": lambda **kw: PreciseBM25(**kw),
     "tfidf_precise": lambda **kw: PreciseTFIDF(**kw),
 }

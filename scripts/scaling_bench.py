@@ -157,7 +157,22 @@ def main() -> int:
         eff = (hi_run["docs_per_sec"] / lo_run["docs_per_sec"]) / ratio
         pairs.append((eff, lo_run, hi_run))
     pairs.sort(key=lambda t: t[0])
-    build_eff, lo, hi = pairs[len(pairs) // 2]  # median pair
+    effs = [e for e, _, _ in pairs]
+    n_pairs = len(effs)
+    # TRUE median (r3 ADVICE: [n//2] picks the UPPER pair for even counts —
+    # with the default 2 pairs the "median" was just the max): odd -> middle
+    # pair; even -> mean of the two middle efficiencies, with the pair
+    # closest to that value shown in the tables.
+    if n_pairs % 2:
+        build_eff = effs[n_pairs // 2]
+        _, lo, hi = pairs[n_pairs // 2]
+    else:
+        build_eff = 0.5 * (effs[n_pairs // 2 - 1] + effs[n_pairs // 2])
+        _, lo, hi = min(pairs, key=lambda t: abs(t[0] - build_eff))
+    # efficiency > 1.0 on one host is not superlinear scaling — it means the
+    # lo leg ran degraded (hypervisor steal); clamp and flag the artifact
+    superlinear_artifact = build_eff > 1.0
+    build_eff = min(build_eff, 1.0)
     build_speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     query_speedup = hi["queries_per_sec"] / lo["queries_per_sec"]
     query_eff = query_speedup / ratio
@@ -175,6 +190,7 @@ def main() -> int:
         "hi": hi,
         "build_speedup": round(build_speedup, 3),
         "build_scaling_efficiency": round(build_eff, 3),
+        "superlinear_artifact": superlinear_artifact,
         "pair_efficiencies": [round(e, 3) for e, _, _ in sorted(pairs, key=lambda t: t[0])],
         "best_lo_docs_per_sec": best_lo["docs_per_sec"],
         "best_hi_docs_per_sec": best_hi["docs_per_sec"],
@@ -210,8 +226,11 @@ host), so adding cores cannot reduce it:
 |---|---|---|
 | mean BM25 top-10 latency (s) | {lo['query_sec']/lo['n_queries']:.2f} | {hi['query_sec']/hi['n_queries']:.2f} |
 
-Raw ({args.repeats} interleaved (lo, hi) pair(s); reported = MEDIAN
-per-pair efficiency; per-run hypervisor steal%% recorded):
+Raw ({args.repeats} interleaved (lo, hi) pair(s); reported = TRUE MEDIAN
+per-pair efficiency (even counts average the two middle pairs), clamped at
+1.0 — an efficiency above 1.0 on one host is a degraded-lo-leg artifact,
+not superlinear scaling{' — CLAMP APPLIED to this run' if superlinear_artifact else ''};
+per-run hypervisor steal%% recorded):
 pair efficiencies: {json.dumps(summary['pair_efficiencies'])}
 lo runs (docs/s, steal%): {json.dumps([(r['docs_per_sec'], r.get('build_steal_pct')) for r in all_runs[args.lo]])}
 hi runs (docs/s, steal%): {json.dumps([(r['docs_per_sec'], r.get('build_steal_pct')) for r in all_runs[args.hi]])}

@@ -157,3 +157,169 @@ def test_ngram_match_total_distinct(spark):
     out = ngram_match_topk(docs, ["xx", "yy", "xx", "yy"], threshold=0.5, k=5)
     rows = {r["doc_id"]: r["score"] for r in out.collect()}
     assert rows[1] == 1.0
+
+
+def _corpus_rows(texts, start=0):
+    return [("r", f"f{start + i:03d}.py", "c0", "py", t) for i, t in enumerate(texts)]
+
+
+OFF_TEXTS = [
+    "spark builds fast index",
+    "query the spark engine",
+    "merge keeps spark offsets",
+    "another doc without the term",
+    "spark spark twice here",
+    "tail doc mentions spark",
+]
+
+
+def _build_off_store(spark, root, slices, with_offsets=True):
+    from iresearch_spark.index.segments import IndexStore, build_segment
+
+    store = IndexStore(root)
+    for name, rows in slices:
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        build_segment(spark, store, df, name, with_offsets=with_offsets)
+    return store
+
+
+def _off_rows(eng, terms):
+    return sorted(
+        (r["gdoc"], r["term"], tuple(r["starts"]), tuple(r["lens"]))
+        for r in eng.offsets(terms).collect()
+    )
+
+
+def test_merge_offsets_segments(spark, tmp_path):
+    """Merging with_offsets segments preserves the highlighting stream
+    byte-for-byte (r3 ADVICE: the flat merge path dropped off_bin): the
+    merged segment's offsets() equals a from-scratch single-segment build
+    over the concatenated corpus."""
+    from iresearch_spark.index.merge import merge_segments
+    from iresearch_spark.search import SearchEngine
+
+    rows = _corpus_rows(OFF_TEXTS)
+    store = _build_off_store(
+        spark, str(tmp_path / "multi"), [("s1", rows[:3]), ("s2", rows[3:])]
+    )
+    merge_segments(spark, store, ["s1", "s2"], "m12")
+    got = _off_rows(SearchEngine(spark, store), ["spark"])
+
+    single = _build_off_store(spark, str(tmp_path / "single"), [("all", rows)])
+    exp = _off_rows(SearchEngine(spark, single), ["spark"])
+    assert got == exp and len(got) > 0
+    # spot-check: every span really covers the term in the source text
+    by_doc = {i + 1: t for i, t in enumerate(OFF_TEXTS)}
+    for gdoc, term, starts, lens in got:
+        for s, ln in zip(starts, lens):
+            assert by_doc[gdoc][s : s + ln].lower() == term
+
+
+def test_merge_offsets_with_tombstones(spark, tmp_path):
+    """Dense tombstone renumbering keeps offset spans aligned: merging with
+    a tombstone equals a from-scratch build over the surviving docs."""
+    from iresearch_spark.index.merge import merge_segments
+    from iresearch_spark.search import SearchEngine
+
+    rows = _corpus_rows(OFF_TEXTS)
+    store = _build_off_store(
+        spark, str(tmp_path / "multi"), [("s1", rows[:3]), ("s2", rows[3:])]
+    )
+    tomb = spark.createDataFrame([("s1", 2)], "segment string, doc_id long")
+    merge_segments(spark, store, ["s1", "s2"], "mt", tombstones=tomb)
+    got = _off_rows(SearchEngine(spark, store), ["spark"])
+
+    kept = OFF_TEXTS[:1] + OFF_TEXTS[2:]  # s1 doc 2 (f001) dropped
+    single = _build_off_store(
+        spark, str(tmp_path / "single"), [("all", _corpus_rows(kept))]
+    )
+    exp = _off_rows(SearchEngine(spark, single), ["spark"])
+    assert got == exp and len(got) > 0
+
+
+def test_merge_mixed_offsets_refused(spark, tmp_path):
+    """A mix of with_offsets and plain segments refuses to merge with a
+    clear error instead of silently dropping highlighting (r3 ADVICE)."""
+    from iresearch_spark.index.merge import merge_segments
+    from iresearch_spark.index.segments import build_segment
+
+    rows = _corpus_rows(OFF_TEXTS)
+    store = _build_off_store(spark, str(tmp_path / "mix"), [("s1", rows[:3])])
+    df = spark.createDataFrame(
+        rows[3:], "repo string, path string, commit string, lang string, content string"
+    )
+    build_segment(spark, store, df, "s2", with_offsets=False)
+    with pytest.raises(ValueError, match="with_offsets"):
+        merge_segments(spark, store, ["s1", "s2"], "bad")
+
+
+def test_bm25_tiny_norm_cache_golden(spark, tmp_path):
+    """Opt-in kNorm2Tiny quantized scoring (reference bm25.cpp:345-352
+    cache fill, :404-409 reciprocal evaluation — SURVEY.md §2.D's named
+    rank-identity pitfall): engine scores on a 1-byte-norm segment must
+    bit-match an independent NumPy oracle implementing the 256-entry
+    reciprocal cache, and WAND pruning must stay rank-identical."""
+    import math
+
+    import numpy as np
+
+    from iresearch_spark.index.merge import unpack_postings
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import SearchEngine, Term
+    from iresearch_spark.search.scorers import BM25
+
+    F32 = np.float32
+    store = IndexStore(str(tmp_path / "tiny"))
+    df = spark.createDataFrame(
+        _corpus_rows(DOCS + OFF_TEXTS),
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_segment(spark, store, df, "seg0")
+    eng = SearchEngine(spark, store, scorer=BM25(tiny_norms=True))
+    got = [(r["gdoc"], r["score"]) for r in eng.topk(Term("spark"), 10).collect()]
+
+    # independent oracle: reference cache semantics re-derived from scratch
+    m = store.current()
+    N, avg_dl = m.docs_count, m.sum_len / m.docs_count
+    flat = {
+        r["doc_id"]: (r["tf"], r["dl"])
+        for r in unpack_postings(
+            store.read_union(spark, "postings", ["seg0"]), True
+        )
+        .where("term = 'spark'")
+        .collect()
+    }
+    n = len(flat)
+    idf = F32(math.log1p((N - n + 0.5) / (n + 0.5)))
+    c0 = F32(1.0) * F32(1.2 + 1.0) * idf
+    norm_const = F32(1.2) * F32(1.0 - 0.75)
+    norm_length = (F32(1.2) * F32(0.75)) / F32(avg_dl)
+    cache = np.empty(256, dtype=F32)
+    cache[0] = 0.0
+    cache[1:] = F32(1.0) / (norm_const + norm_length * np.arange(1, 256, dtype=F32))
+    exp = sorted(
+        (
+            (d, float(F32(c0 - c0 / (F32(1.0) + F32(tf) * cache[dl]))))
+            for d, (tf, dl) in flat.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == exp
+    # WAND-pruned and exhaustive agree under the quantized scorer too
+    nowand = [(r["gdoc"], r["score"]) for r in eng.topk(Term("spark"), 10, wand=False).collect()]
+    assert got == nowand
+
+
+def test_assign_doc_ids_null_keys_raise(spark):
+    """NULL key columns would silently diverge from the documented
+    row_number() rank (Spark sorts NULLs first, pandas last) — the build
+    now fails fast instead (r3 ADVICE)."""
+    from iresearch_spark.index.build import assign_doc_ids
+
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y"), ("c", "z")], "k string, v string"
+    )
+    with pytest.raises(Exception, match="NULL in key columns"):
+        assign_doc_ids(df, ["k"]).collect()
