@@ -141,7 +141,11 @@ def main() -> None:
     if big_docs:
         broot = tempfile.mkdtemp(prefix="irbig_")
         bstore = IndexStore(broot)
-        bcorpus = generate_corpus(spark, big_docs, seed=43).persist()
+        # bursty (Church-Gale) term distribution: real text concentrates a
+        # term's occurrences in few topical docs; the flat binomial tf of
+        # the plain synthetic corpus gives every block the same max_tf, so
+        # block-max pruning could never engage on it
+        bcorpus = generate_corpus(spark, big_docs, seed=43, burstiness=0.1).persist()
         bcorpus.count()
         t0 = time.time()
         build_segment(spark, bstore, bcorpus, "big0")
@@ -161,7 +165,10 @@ def main() -> None:
             .collect()
         )
         bterms = [(r["term"], r["doc_freq"]) for r in bstats]
-        bhigh = bterms[0][0]
+        # highest-df VOCABULARY term ('call'/'x' are decoration artifacts
+        # that never receive bursts — a term no real corpus would have:
+        # ubiquitous yet with perfectly flat per-doc tf)
+        bhigh = next(t for t, _ in bterms if t not in ("call", "x"))
         bmed = next(
             (t for t, df in bterms if df <= bterms[0][1] / 10),
             bterms[len(bterms) // 10][0],
@@ -188,6 +195,42 @@ def main() -> None:
                     sink.append(time.time() - t0)
             queries[name] = round(min(tw), 3)
             queries[f"{name}_nowand"] = round(min(tn), 3)
+        # KERNEL-level wand demonstration: end-to-end wall time above is
+        # dominated by fixed per-job scheduling (~0.45 s) — at 32-way
+        # parallelism each task scores ~20k postings in milliseconds, so no
+        # data-plane improvement can show. Here the scoring kernel runs
+        # directly on ONE collected batch of the term's packed blocks (what
+        # a single executor core sees), wand vs exhaustive, interleaved
+        # min-of-5 — the reference wanderator's own granularity.
+        from iresearch_spark.search.executor import _topk_sums_kernel
+
+        for kname, kterm in (("KernelHighTerm", bhigh), ("KernelMedTerm", bmed)):
+            dfreq = dict(bterms)[kterm]
+            ksc = {kterm: beng.scorer.prepare(beng.field, dfreq, 1.0)}
+            bpdf = (
+                beng.postings.where(F.col("term") == kterm)
+                .select(*beng.SCAN_COLS)
+                .toPandas()
+            )
+            res = {}
+            tms = {True: [], False: []}
+            for r in range(5):
+                for prune in (True, False) if r % 2 == 0 else (False, True):
+                    kern = _topk_sums_kernel(
+                        ksc, {kterm: 0.0}, beng.seg_base,
+                        k=10, min_match=1, const_add=0.0, merge="sum",
+                        mode="f32", deleted=None, grouped=False, prune=prune,
+                    )
+                    t0 = time.time()
+                    frames = list(kern(iter([bpdf])))
+                    tms[prune].append(time.time() - t0)
+                    res[prune] = sorted(
+                        map(tuple, frames[0][["gdoc", "score"]].to_numpy().tolist())
+                    ) if frames else []
+            assert res[True] == res[False], f"wand changed results for {kterm}"
+            queries[kname] = round(min(tms[True]), 4)
+            queries[f"{kname}_nowand"] = round(min(tms[False]), 4)
+            big_meta[f"{kname}_blocks"] = int(len(bpdf))
         shutil.rmtree(broot, ignore_errors=True)
 
     total = time.time() - t_all

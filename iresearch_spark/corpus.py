@@ -46,8 +46,17 @@ def generate_corpus(
     min_tokens: int = 40,
     max_tokens: int = 200,
     partitions: int | None = None,
+    burstiness: float = 0.0,
 ) -> DataFrame:
-    """Build the synthetic corpus as a DataFrame (not yet persisted)."""
+    """Build the synthetic corpus as a DataFrame (not yet persisted).
+
+    `burstiness` > 0 adds term burstiness (Church-Gale): that fraction of
+    docs gets a per-doc "topic term" from the top-200 vocabulary emitted at
+    an elevated per-doc rate (5-40% of tokens). Plain Zipf draws give every
+    doc a near-binomial tf for a common term — block maxes come out flat
+    and block-max WAND has nothing to skip, which is NOT how real text
+    behaves (topical terms spike in few docs). The default 0.0 keeps the
+    legacy shape for fixture continuity."""
     rng = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
     s = F.lit(seed)
@@ -61,13 +70,25 @@ def generate_corpus(
     n_kw = len(KEYWORDS)
     vocab_total = n_kw + VOCAB_SIZE
 
+    # per-doc burst state (deterministic): is this doc bursty, which
+    # top-200 term does it burst on, and at what per-token rate
+    is_bursty = _u01(s, i, F.lit("bp")) < F.lit(float(burstiness))
+    bt_rank = F.pmod(_h(s, i, F.lit("bt")), F.lit(200)).cast("int")
+    beta = F.lit(0.05) + F.lit(0.35) * _u01(s, i, F.lit("bb"))
+
+    def _rank_to_token(rank):
+        return F.when(rank < n_kw, F.element_at(kw, rank + 1)).otherwise(
+            F.concat(F.lit("v"), (rank - n_kw).cast("string"))
+        )
+
     def token_expr(j):
         u = _u01(s, i, j, F.lit("tok"))
         rank = F.floor(F.pow(F.lit(float(vocab_total)), u)) - 1
         rank = F.least(rank, F.lit(vocab_total - 1)).cast("int")
-        base = F.when(rank < n_kw, F.element_at(kw, rank + 1)).otherwise(
-            F.concat(F.lit("v"), (rank - n_kw).cast("string"))
-        )
+        base = _rank_to_token(rank)
+        if burstiness:
+            burst_here = is_bursty & (_u01(s, i, j, F.lit("bu")) < beta)
+            base = F.when(burst_here, _rank_to_token(bt_rank)).otherwise(base)
         m = F.pmod(_h(s, i, j, F.lit("dec")), F.lit(12))
         return (
             F.when(m == 0, F.concat(F.upper(base), F.lit("();")))

@@ -5,9 +5,13 @@ Reference semantics (SURVEY.md §3.3): MergeWriter computes a per-reader
 docID map — contiguous base offsets when no documents are masked, else a
 dense renumbering of live docs (core/index/merge_writer.cpp:1449-1571) —
 then re-emits postings through the normal format writer with remapped ids.
-The Spark restatement: the doc map IS a DataFrame join; re-emission IS
-re-running the pack pipeline over the remapped flat postings. The merged
-segment replaces its members in one atomic manifest generation
+The r4 Spark restatement is JOIN-FREE: packed blocks become combiner
+partials in one vectorized kernel (remap = base shift + binary search over
+each segment's sorted inline tombstone array; tombstoned docs drop out
+wholesale, so every per-doc byte stream re-encodes identically), and the
+build's own sorted-stream merge kernel re-blocks them — the only shuffle
+moves packed partial bytes, exactly like the build. The merged segment
+replaces its members in one atomic manifest generation
 (core/index/index_writer.cpp:1340-1650 consolidation commit reconciliation).
 
 The tier policy re-expresses the reference's skew-scored tiered selection

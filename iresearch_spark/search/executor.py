@@ -157,6 +157,7 @@ def _topk_sums_kernel(
     deleted: np.ndarray | None,
     grouped: bool,
     prune: bool,
+    counters: dict | None = None,
 ):
     """mapInPandas kernel: packed block rows -> per-doc (gdoc, score, n_terms).
 
@@ -164,6 +165,11 @@ def _topk_sums_kernel(
     partition (a doc's blocks for all query terms share one group — chunk
     co-partitioning from index/build.py). grouped=False is the single-term
     fast path: every block is its own group (one block per doc per term).
+
+    `counters` (direct/driver-side calls only — a distributed task's dict
+    never comes back): filled with {"blocks", "skipped"} so tests and the
+    kernel bench can pin that block-max pruning actually engages, not just
+    that it doesn't change results.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -265,6 +271,8 @@ def _topk_sums_kernel(
                     else:  # min: doc present in THIS leg -> min <= blk
                         tb[m] = blk + const_add
                 tb = _transform_arr(mode, tb)
+            if counters is not None:
+                counters["blocks"] = counters.get("blocks", 0) + n
             for i in range(n):
                 if grouped:
                     key = (segs[i], chunks[i])
@@ -272,6 +280,8 @@ def _topk_sums_kernel(
                         flush()
                         cur_key = key
                 if tb is not None and tb[i] < thr:
+                    if counters is not None:
+                        counters["skipped"] = counters.get("skipped", 0) + 1
                     continue  # block-max skip (STRICT <)
                 term = terms[i]
                 sc = scorers[term]
@@ -810,13 +820,14 @@ class SearchEngine:
             min_match = node.min_match if isinstance(node, Terms) else 1
             scorers = self._leaf_scorers(expansion, boost * node.boost)
             # unscored tail (reference lazy_bitset_iterator): matched, but
-            # contributes score 0 — tail-only docs surface at score 0
-            for t in tail:
-                scorers[t] = (
-                    PreciseConstTermScorer(0.0)
-                    if self.precise
-                    else ConstTermScorer(0.0)
-                )
+            # contributes score 0 — tail-only docs surface at score 0. ONE
+            # shared zero-scorer instance: a wide expansion's kernel closure
+            # pickles the scorer dict per task, and 10k identical frozen
+            # dataclasses serialize as 10k objects unless shared
+            if tail:
+                zero = PreciseConstTermScorer(0.0) if self.precise else ConstTermScorer(0.0)
+                for t in tail:
+                    scorers[t] = zero
             return scorers, min_match, 0.0, "sum"
         if (
             isinstance(node, (And, Or))

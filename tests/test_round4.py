@@ -323,3 +323,56 @@ def test_assign_doc_ids_null_keys_raise(spark):
     )
     with pytest.raises(Exception, match="NULL in key columns"):
         assign_doc_ids(df, ["k"]).collect()
+
+
+def test_wand_skips_blocks_on_bursty_corpus(spark, tmp_path):
+    """Block-max pruning must ENGAGE (not merely stay safe) on a corpus
+    with realistic term burstiness, and stay rank-identical to exhaustive.
+    Pinned at the kernel (deterministic skip counters) because at bench
+    scale end-to-end wall time is fixed job overhead (r3 VERDICT next-4)."""
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import SearchEngine
+    from iresearch_spark.search.executor import _topk_sums_kernel
+
+    store = IndexStore(str(tmp_path / "bursty"))
+    n_docs = 30_000
+    corpus = generate_corpus(spark, n_docs, seed=43, burstiness=0.1)
+    build_segment(spark, store, corpus, "b0")
+    eng = SearchEngine(spark, store)
+    # a MED-frequency burst-covered term: non-burst tf is 1-3, burst docs
+    # spike to 10-80, so block bounds sit far below the top-k threshold.
+    # (A ubiquitous term's margin is razor-thin under BM25 tf-saturation.)
+    term = (
+        eng.term_stats.where(
+            (F.col("term").rlike("^v[0-9]+$"))
+            & (F.col("doc_freq").between(n_docs / 20, n_docs / 6))
+        )
+        .orderBy(F.desc("doc_freq"))
+        .limit(1)
+        .collect()[0]["term"]
+    )
+    dfreq = eng.term_stats.where(F.col("term") == term).collect()[0]["doc_freq"]
+    sc = {term: eng.scorer.prepare(eng.field, dfreq, 1.0)}
+    pdf = (
+        eng.postings.where(F.col("term") == term).select(*eng.SCAN_COLS).toPandas()
+    )
+    results = {}
+    for prune in (True, False):
+        ctr: dict = {}
+        kern = _topk_sums_kernel(
+            sc, {term: 0.0}, eng.seg_base,
+            k=5, min_match=1, const_add=0.0, merge="sum", mode="f32",
+            deleted=None, grouped=False, prune=prune, counters=ctr,
+        )
+        frames = list(kern(iter([pdf])))
+        results[prune] = sorted(
+            map(tuple, frames[0][["gdoc", "score"]].to_numpy().tolist())
+        )
+        if prune:
+            assert ctr.get("skipped", 0) > 0.3 * ctr["blocks"], ctr
+        else:
+            assert ctr.get("skipped", 0) == 0
+    assert results[True] == results[False]
