@@ -539,6 +539,12 @@ _PARTIAL_SCHEMA = StructType(
         # per occurrence, start delta reset per doc; offsets index the
         # analyzer-cased text (== raw text offsets for ASCII)
         StructField("off_bin", BinaryType()),
+        # optional generic per-occurrence payload stream (the reference
+        # .pay payload half, formats_10.cpp:166-267 pay_buf): split into a
+        # varint length-per-occurrence stream and the raw bytes, so merges
+        # can slice at element boundaries without scanning payload bytes
+        StructField("paylen_bin", BinaryType()),
+        StructField("pay_bin", BinaryType()),
     ]
 )
 
@@ -566,6 +572,7 @@ def _make_doc_packer(
     chunk_bits: int,
     with_positions: bool,
     with_offsets: bool = False,
+    payload_fn=None,
 ):
     """mapInPandas kernel: docs (doc_id, text) -> partial posting rows, one
     per (term, chunk) per input batch, plus one doclen row (term=NULL) per
@@ -573,7 +580,14 @@ def _make_doc_packer(
     exactly ONE tokenize pass (docmap reuses the doclen rows instead of
     re-tokenizing the corpus). with_offsets additionally records each
     occurrence's (char start, length) in the cased text — the highlighting
-    payload (reference .pay stream) — via delimiter-span tokenization."""
+    half of the reference .pay stream — via delimiter-span tokenization.
+
+    payload_fn (the generic payload half of .pay): a BATCH-vectorized
+    callable (surface_tokens: object ndarray, starts: int64 ndarray,
+    lens: int64 ndarray) -> sequence of bytes, called once per Arrow batch
+    over the kept occurrences (the reference's token_stream payload
+    attribute, emitted per position). Payload bytes ride a
+    (varint length, raw bytes) stream pair per block."""
     import re as _re
 
     rx = _re.compile(spec["delim"])
@@ -593,6 +607,8 @@ def _make_doc_packer(
                 c for c in unicodedata.normalize("NFKD", t) if not unicodedata.combining(c)
             )
 
+    with_spans = with_offsets or payload_fn is not None
+
     def fn(batches):
         from itertools import chain
 
@@ -606,7 +622,7 @@ def _make_doc_packer(
                 texts = texts.map(lambda x: _fold(x) if isinstance(x, str) else x)
             if lower:
                 texts = texts.str.lower()
-            if with_offsets:
+            if with_spans:
                 # delimiter-span tokenize: tokens are the gaps between
                 # delimiter matches, so spans come for free
                 tok_lists = []
@@ -656,7 +672,7 @@ def _make_doc_packer(
                 kdoc_idx = doc_idx[keep]
                 kpos = pos[keep]
                 kc0 = codes[keep]
-                if with_offsets:
+                if with_spans:
                     kst = np.asarray(span_st, dtype=np.int64)[keep]
                     kln = np.asarray(span_ln, dtype=np.int64)[keep]
                 if use_stem:
@@ -722,6 +738,17 @@ def _make_doc_packer(
                         ovals[1::2] = lo
                         off_buf, off_ends = varint_encode_offsets(ovals)
                         uo0 = np.concatenate(([0], off_ends))
+                    if payload_fn is not None:
+                        # batch-vectorized payload call over kept surface
+                        # occurrences, then reordered to token order
+                        pays = np.asarray(
+                            list(payload_fn(flat[keep], kst, kln)), dtype=object
+                        )[order]
+                        plens = np.fromiter((len(b) for b in pays), np.int64, count=m)
+                        paylen_buf, paylen_ends = varint_encode_offsets(plens)
+                        upl0 = np.concatenate(([0], paylen_ends))
+                        pay_bounds = np.concatenate(([0], np.cumsum(plens)))
+                        pay_all = b"".join(pays.tolist())
                     ud0 = np.concatenate(([0], docs_ends))
                     ut0 = np.concatenate(([0], tfs_ends))
                     ul0 = np.concatenate(([0], dls_ends))
@@ -765,6 +792,22 @@ def _make_doc_packer(
                                     if with_offsets
                                     else [None] * ug_starts.size
                                 ),
+                                "paylen_bin": (
+                                    [
+                                        paylen_buf[upl0[s] : upl0[e]]
+                                        for s, e in zip(tok_g_starts, g_tok_end)
+                                    ]
+                                    if payload_fn is not None
+                                    else [None] * ug_starts.size
+                                ),
+                                "pay_bin": (
+                                    [
+                                        pay_all[pay_bounds[s] : pay_bounds[e]]
+                                        for s, e in zip(tok_g_starts, g_tok_end)
+                                    ]
+                                    if payload_fn is not None
+                                    else [None] * ug_starts.size
+                                ),
                             }
                         )
                     )
@@ -784,6 +827,8 @@ def _make_doc_packer(
                         "dls_bin": [varint_encode(dl[sidx])],
                         "pos_bin": [None],
                         "off_bin": [None],
+                        "paylen_bin": [None],
+                        "pay_bin": [None],
                     }
                 )
             )
@@ -792,11 +837,14 @@ def _make_doc_packer(
     return fn
 
 
-def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, pos_bins, with_positions, off_bins=None):
+def _merge_partial_arrays(
+    terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, pos_bins,
+    with_positions, off_bins=None, paylen_bins=None, pay_bins=None,
+):
     """Decode a partition's partial rows (already sorted by (term, chunk,
     first_doc)) into global per-unique-doc arrays + group boundaries.
-    Returns (docs, tfs, dls, pos_deltas, off_vals, grp_first_part,
-    grp_doc_start, resorted)."""
+    Returns (docs, tfs, dls, pos_deltas, off_vals, paylens, pay_buf,
+    grp_first_part, grp_doc_start, resorted)."""
     P = len(terms)
     doc_ends = np.cumsum(n_docs.astype(np.int64))
     doc_starts = doc_ends - n_docs
@@ -819,6 +867,18 @@ def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, 
         if off_bins is not None
         else None
     )
+    paylens = (
+        varint_decode(
+            b"".join([b for b in paylen_bins if b is not None])
+        ).astype(np.int64)
+        if paylen_bins is not None
+        else None
+    )
+    pay_buf = (
+        b"".join([b for b in pay_bins if b is not None])
+        if pay_bins is not None
+        else None
+    )
     # group = run of partial rows with equal (term, chunk)
     gb_p = np.empty(P, dtype=bool)
     gb_p[0] = True
@@ -837,6 +897,13 @@ def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, 
         asc[grp_doc_start[1:] - 1] = True  # group boundaries exempt
         ok = bool(asc.all())
     if not ok:
+        if paylens is not None:
+            # interleaved-doc inputs never occur on the build path (batches
+            # hold contiguous doc ranges); re-gathering variable-length
+            # payload byte segments is not implemented for the fallback
+            raise NotImplementedError(
+                "payload streams require doc-contiguous partial inputs"
+            )
         G = grp_first_part.size
         grp_sizes = np.diff(np.append(grp_doc_start, total_docs))
         grp_of_doc = np.repeat(np.arange(G), grp_sizes)
@@ -854,10 +921,19 @@ def _merge_partial_arrays(terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins, 
         docs = docs[perm]
         tfs = tfs[perm]
         dls = dls[perm]
-    return docs, tfs, dls, pos_deltas, off_vals, grp_first_part, grp_doc_start, not ok
+    return (
+        docs, tfs, dls, pos_deltas, off_vals, paylens, pay_buf,
+        grp_first_part, grp_doc_start, not ok,
+    )
 
 
-def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool, with_offsets: bool = False):
+def _make_partial_merger(
+    block_size: int,
+    chunk_bits: int,
+    with_positions: bool,
+    with_offsets: bool = False,
+    with_payloads: bool = False,
+):
     """mapInPandas kernel over partials sorted by (term, _chunk, first_doc):
     concatenates the partition, merges each (term, chunk) group's partials,
     and re-blocks at `block_size` docs. tf/dl/pos/off bytes are SLICED from
@@ -866,7 +942,7 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool,
     blocks_per_chunk = max(1, (1 << chunk_bits) // block_size)
 
     def fn(batches):
-        cols: dict[str, list] = {k: [] for k in ("term", "_chunk", "n_docs", "n_tok", "docs_bin", "tfs_bin", "dls_bin", "pos_bin", "off_bin")}
+        cols: dict[str, list] = {k: [] for k in ("term", "_chunk", "n_docs", "n_tok", "docs_bin", "tfs_bin", "dls_bin", "pos_bin", "off_bin", "paylen_bin", "pay_bin")}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -883,11 +959,14 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool,
         dls_bins = [b for lst in cols["dls_bin"] for b in lst]
         pos_bins = [b for lst in cols["pos_bin"] for b in lst]
         off_bins = [b for lst in cols["off_bin"] for b in lst] if with_offsets else None
-        docs, tfs, dls, pos_deltas, off_vals, grp_first_part, grp_doc_start, resorted = (
-            _merge_partial_arrays(
-                terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins,
-                pos_bins, with_positions, off_bins,
-            )
+        paylen_bins = [b for lst in cols["paylen_bin"] for b in lst] if with_payloads else None
+        pay_bins = [b for lst in cols["pay_bin"] for b in lst] if with_payloads else None
+        (
+            docs, tfs, dls, pos_deltas, off_vals, paylens, pay_buf,
+            grp_first_part, grp_doc_start, resorted,
+        ) = _merge_partial_arrays(
+            terms, chunks, n_docs, docs_bins, tfs_bins, dls_bins,
+            pos_bins, with_positions, off_bins, paylen_bins, pay_bins,
         )
         G = grp_first_part.size
         total_docs = docs.size
@@ -925,7 +1004,7 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool,
         max_tf = np.maximum.reduceat(tfs, bstart)
         min_dl = np.minimum.reduceat(dls, bstart)
         sum_tf = np.add.reduceat(tfs, bstart)
-        if with_positions or with_offsets:
+        if with_positions or with_offsets or with_payloads:
             tok_off = np.concatenate(([0], np.cumsum(tfs)))
         if with_positions:
             if resorted:
@@ -941,6 +1020,13 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool,
                 off_buf = b"".join([b for b in off_bins if b is not None])
                 o_ends = np.cumsum(varint_byte_lens(off_vals))
             o0 = np.concatenate(([0], o_ends))
+        if with_payloads:
+            # lengths and bytes are doc-keyed values unchanged by
+            # re-blocking (resorted raises upstream): slice both streams
+            # at token boundaries
+            paylen_cat = b"".join([b for b in paylen_bins if b is not None])
+            pl0 = np.concatenate(([0], np.cumsum(varint_byte_lens(paylens))))
+            payb0 = np.concatenate(([0], np.cumsum(paylens)))
         block_id = chunks[grp_first_part][gidx] * blocks_per_chunk + intra
         out = pd.DataFrame(
             {
@@ -966,6 +1052,15 @@ def _make_partial_merger(block_size: int, chunk_bits: int, with_positions: bool,
                 off_buf[o0[2 * tok_off[s]] : o0[2 * tok_off[e]]]
                 for s, e in zip(bstart, bend)
             ]
+        if with_payloads:
+            out["paylen_bin"] = [
+                paylen_cat[pl0[tok_off[s]] : pl0[tok_off[e]]]
+                for s, e in zip(bstart, bend)
+            ]
+            out["pay_bin"] = [
+                pay_buf[payb0[tok_off[s]] : payb0[tok_off[e]]]
+                for s, e in zip(bstart, bend)
+            ]
         # stream out in bounded slices (keeps Arrow batches reasonable)
         step = 65536
         for i in range(0, len(out), step):
@@ -982,6 +1077,7 @@ def pack_docs_combined(
     chunk_bits: int = DEFAULT_CHUNK_BITS,
     with_positions: bool = True,
     with_offsets: bool = False,
+    payload_fn=None,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Combiner build: docs -> (packed block rows, partials handle).
@@ -995,7 +1091,9 @@ def pack_docs_combined(
     spec = text_py_spec(analyzer)
     assert spec is not None, "analyzer lacks a python spec; use pack_tokens"
     partials = docs.select("doc_id", text_col).mapInPandas(
-        _make_doc_packer(spec, text_col, chunk_bits, with_positions, with_offsets),
+        _make_doc_packer(
+            spec, text_col, chunk_bits, with_positions, with_offsets, payload_fn
+        ),
         _PARTIAL_SCHEMA,
     )
     n_part = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
@@ -1004,14 +1102,19 @@ def pack_docs_combined(
         .repartition(n_part, "term", "_chunk")
         .sortWithinPartitions("term", "_chunk", "first_doc")
     )
+    with_payloads = payload_fn is not None
     packed = post.mapInPandas(
-        _make_partial_merger(block_size, chunk_bits, with_positions, with_offsets),
-        packed_schema(with_positions, with_offsets),
+        _make_partial_merger(
+            block_size, chunk_bits, with_positions, with_offsets, with_payloads
+        ),
+        packed_schema(with_positions, with_offsets, with_payloads),
     )
     return packed, partials
 
 
-def packed_schema(with_positions: bool, with_offsets: bool = False) -> StructType:
+def packed_schema(
+    with_positions: bool, with_offsets: bool = False, with_payloads: bool = False
+) -> StructType:
     """Schema of a committed postings table (block rows)."""
     out_fields = [
         StructField("term", StringType()),
@@ -1030,6 +1133,9 @@ def packed_schema(with_positions: bool, with_offsets: bool = False) -> StructTyp
         out_fields.append(StructField("pos_bin", BinaryType()))
     if with_offsets:
         out_fields.append(StructField("off_bin", BinaryType()))
+    if with_payloads:
+        out_fields.append(StructField("paylen_bin", BinaryType()))
+        out_fields.append(StructField("pay_bin", BinaryType()))
     return StructType(out_fields)
 
 

@@ -118,6 +118,7 @@ def _blocks_to_partials_kernel(
     chunk_bits: int,
     with_positions: bool,
     with_offsets: bool,
+    with_payloads: bool = False,
 ):
     """Packed block rows (+ segment col) -> combiner-partial rows
     (build._PARTIAL_SCHEMA) with REMAPPED doc ids, tombstoned docs dropped,
@@ -201,7 +202,7 @@ def _blocks_to_partials_kernel(
                 "tfs_bin": [tfs_buf[t0[s] : t0[e]] for s, e in zip(run_starts, run_ends)],
                 "dls_bin": [dls_buf[l0[s] : l0[e]] for s, e in zip(run_starts, run_ends)],
             }
-            if with_positions or with_offsets:
+            if with_positions or with_offsets or with_payloads:
                 tok_keep = np.repeat(keep, tfs)
                 ktok = np.concatenate(([0], np.cumsum(ktfs)))
                 rts, rte = ktok[run_starts], ktok[run_ends]
@@ -227,6 +228,26 @@ def _blocks_to_partials_kernel(
                 out["off_bin"] = [off_buf[o0[2 * s] : o0[2 * e]] for s, e in zip(rts, rte)]
             else:
                 out["off_bin"] = [None] * run_starts.size
+            if with_payloads:
+                # payload lengths (1 varint/occurrence) + raw bytes: keep
+                # masks lift from occurrences to bytes via repeat(lengths)
+                paylens = varint_decode(
+                    b"".join(b for b in pdf["paylen_bin"] if b is not None)
+                ).astype(np.int64)
+                kp = paylens[tok_keep]
+                paylen_buf, ple = varint_encode_offsets(kp)
+                pl0 = np.concatenate(([0], ple))
+                pay_all = b"".join(b for b in pdf["pay_bin"] if b is not None)
+                byte_keep = np.repeat(tok_keep, paylens)
+                pay_kept = np.frombuffer(pay_all, dtype=np.uint8)[byte_keep].tobytes()
+                kb0 = np.concatenate(([0], np.cumsum(kp)))
+                out["paylen_bin"] = [
+                    paylen_buf[pl0[s] : pl0[e]] for s, e in zip(rts, rte)
+                ]
+                out["pay_bin"] = [pay_kept[kb0[s] : kb0[e]] for s, e in zip(rts, rte)]
+            else:
+                out["paylen_bin"] = [None] * run_starts.size
+                out["pay_bin"] = [None] * run_starts.size
             yield pd.DataFrame(out)[col_order]
 
     return kernel
@@ -388,16 +409,18 @@ def merge_segments(
 
     blocks = store.read_union(spark, "postings", seg_names)
     with_positions = "pos_bin" in blocks.columns
-    seg_has_off = {
-        s: "off_bin" in store.read(spark, s, "postings").columns for s in seg_names
-    }
+    seg_cols = {s: store.read(spark, s, "postings").columns for s in seg_names}
+    seg_has_off = {s: "off_bin" in c for s, c in seg_cols.items()}
+    seg_has_pay = {s: "pay_bin" in c for s, c in seg_cols.items()}
     with_offsets = all(seg_has_off.values())
-    if any(seg_has_off.values()) and not with_offsets:
-        raise ValueError(
-            "cannot merge a mix of with_offsets and offset-less segments "
-            f"({seg_has_off}): the merged segment would lose highlighting for "
-            "some docs; rebuild members consistently or merge like with like"
-        )
+    with_payloads = all(seg_has_pay.values())
+    for label, has in (("with_offsets", seg_has_off), ("payload", seg_has_pay)):
+        if any(has.values()) and not all(has.values()):
+            raise ValueError(
+                f"cannot merge a mix of {label} and plain segments ({has}): "
+                "the merged segment would lose the stream for some docs; "
+                "rebuild members consistently or merge like with like"
+            )
 
     doc_map = build_doc_map(spark, store, seg_names, tombstones).persist()
 
@@ -457,6 +480,8 @@ def merge_segments(
             in_cols.append("pos_bin")
         if with_offsets:
             in_cols.append("off_bin")
+        if with_payloads:
+            in_cols.extend(["paylen_bin", "pay_bin"])
         partials = blocks.select(*in_cols).mapInPandas(
             _blocks_to_partials_kernel(
                 shift_by_seg,
@@ -464,6 +489,7 @@ def merge_segments(
                 DEFAULT_CHUNK_BITS,
                 with_positions,
                 with_offsets,
+                with_payloads,
             ),
             _PARTIAL_SCHEMA,
         )
@@ -472,17 +498,19 @@ def merge_segments(
             .sortWithinPartitions("term", "_chunk", "first_doc")
             .mapInPandas(
                 _make_partial_merger(
-                    BLOCK_SIZE, DEFAULT_CHUNK_BITS, with_positions, with_offsets
+                    BLOCK_SIZE, DEFAULT_CHUNK_BITS, with_positions, with_offsets,
+                    with_payloads,
                 ),
-                packed_schema(with_positions, with_offsets),
+                packed_schema(with_positions, with_offsets, with_payloads),
             )
         )
     else:
-        if with_offsets:
+        if with_offsets or with_payloads:
             raise ValueError(
-                "offsets merge requires the inline remap path (tombstone set "
-                f"exceeds {MERGE_INLINE_DELETES_MAX} or member id ranges are "
-                "not dense); split the merge or compact tombstones first"
+                "offsets/payload merge requires the inline remap path "
+                f"(tombstone set exceeds {MERGE_INLINE_DELETES_MAX} or member "
+                "id ranges are not dense); split the merge or compact "
+                "tombstones first"
             )
         flat = (
             unpack_postings(blocks, with_positions)

@@ -296,6 +296,7 @@ def build_segment(
     analyzer: Analyzer | None = None,
     with_positions: bool = True,
     with_offsets: bool = False,
+    payload_fn=None,
     commit: bool = True,
 ) -> SegmentMeta:
     """Build one immutable segment from a document slice and (optionally)
@@ -304,7 +305,10 @@ def build_segment(
     crash mid-build never corrupts the committed generation (resume =
     re-run; the committed CURRENT still points at the old manifest).
     with_offsets stores the per-occurrence (char start, length)
-    highlighting stream (combiner-path analyzers only)."""
+    highlighting stream; payload_fn stores caller-supplied per-occurrence
+    payload bytes (the generic half of the reference .pay stream,
+    formats_10.cpp:166-267) — a batch-vectorized callable
+    (tokens, starts, lens) -> sequence of bytes. Both combiner-path only."""
     analyzer = analyzer or TextAnalyzer()
     key_cols = key_cols or ["repo", "path", "commit"]
 
@@ -331,14 +335,15 @@ def build_segment(
         packed, partials = pack_docs_combined(
             docs, analyzer, text_col,
             with_positions=with_positions, with_offsets=with_offsets,
+            payload_fn=payload_fn,
             num_partitions=n_part,
         )
         partials = partials.persist()
     else:
-        if with_offsets:
+        if with_offsets or payload_fn is not None:
             raise ValueError(
-                "with_offsets requires a combiner-path analyzer "
-                "(text_py_spec); offsets need span-aware tokenization"
+                "with_offsets / payload_fn require a combiner-path analyzer "
+                "(text_py_spec); both need span-aware tokenization"
             )
         tokens = tokenize_stream(docs, text_col, analyzer, with_positions)
         packed = pack_tokens(tokens, with_positions=with_positions, num_partitions=n_part)

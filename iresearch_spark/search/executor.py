@@ -1147,6 +1147,69 @@ class SearchEngine:
         )
         return self._mask(blocks.mapInPandas(kernel, schema))
 
+    def payloads(self, terms: list[str]) -> DataFrame:
+        """Per-(doc, term) occurrence payload bytes from the index's
+        payload stream — the generic half of the reference .pay
+        (formats_10.cpp:166-267 pay_buf; written by
+        build_segment(payload_fn=...)). Returns (gdoc, term, payloads
+        array<binary>), one element per occurrence in position order."""
+        if "pay_bin" not in self.postings.columns:
+            raise ValueError("index built without payloads (payload_fn=...)")
+        seg_base = self.seg_base
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                segs = pdf["segment"].to_numpy()
+                terms_a = pdf["term"].to_numpy()
+                docsb = pdf["docs_bin"].to_numpy()
+                tfsb = pdf["tfs_bin"].to_numpy()
+                plb = pdf["paylen_bin"].to_numpy()
+                pb = pdf["pay_bin"].to_numpy()
+                out_g, out_t, out_p = [], [], []
+                for i in range(n):
+                    if plb[i] is None:  # mixed store: plain segment's docs
+                        continue  # carry no payload stream
+                    docs = delta_decode(varint_decode(docsb[i])).astype(
+                        np.int64
+                    ) + seg_base.get(segs[i], 0)
+                    tfs = varint_decode(tfsb[i]).astype(np.int64)
+                    lens = varint_decode(plb[i]).astype(np.int64)
+                    b0 = np.concatenate(([0], np.cumsum(lens)))
+                    buf = pb[i]
+                    tok_bounds = np.concatenate(([0], np.cumsum(tfs)))
+                    out_g.append(docs)
+                    out_t.extend([terms_a[i]] * docs.size)
+                    for d in range(docs.size):
+                        s, e = int(tok_bounds[d]), int(tok_bounds[d + 1])
+                        out_p.append(
+                            [bytes(buf[b0[j] : b0[j + 1]]) for j in range(s, e)]
+                        )
+                if out_g:
+                    yield pd.DataFrame(
+                        {
+                            "gdoc": np.concatenate(out_g),
+                            "term": out_t,
+                            "payloads": out_p,
+                        }
+                    )
+
+        from pyspark.sql.types import ArrayType, BinaryType, StringType
+
+        schema = StructType(
+            [
+                StructField("gdoc", LongType()),
+                StructField("term", StringType()),
+                StructField("payloads", ArrayType(BinaryType())),
+            ]
+        )
+        blocks = self.postings.where(F.col("term").isin(*terms)).select(
+            "segment", "term", "docs_bin", "tfs_bin", "paylen_bin", "pay_bin"
+        )
+        return self._mask(blocks.mapInPandas(kernel, schema))
+
     def topk(self, node: Node, k: int = 10, wand: bool = True) -> DataFrame:
         """Top-k by (score desc, gdoc asc). Single-scan queries (term /
         multiterm / flat boolean / min-match) run the block-max WAND kernel

@@ -376,3 +376,46 @@ def test_wand_skips_blocks_on_bursty_corpus(spark, tmp_path):
         else:
             assert ctr.get("skipped", 0) == 0
     assert results[True] == results[False]
+
+
+def test_merge_edge_tombstones_three_segments(spark, tmp_path):
+    """New merge-path edges: tombstones at segment boundaries (first doc of
+    a segment, last doc of another) and one segment deleted ENTIRELY. The
+    merged segment must equal a from-scratch build over the survivors."""
+    from iresearch_spark.index.merge import merge_segments, unpack_postings
+    from iresearch_spark.search import SearchEngine
+
+    texts = [f"doc number {i} spark payload term{i % 3}" for i in range(9)]
+    rows = _corpus_rows(texts)
+    store = _build_off_store(
+        spark,
+        str(tmp_path / "multi"),
+        [("s1", rows[:3]), ("s2", rows[3:6]), ("s3", rows[6:])],
+        with_offsets=False,
+    )
+    # s1: first doc (id 1); s2: ALL docs; s3: last doc (id 3)
+    tomb = spark.createDataFrame(
+        [("s1", 1), ("s2", 1), ("s2", 2), ("s2", 3), ("s3", 3)],
+        "segment string, doc_id long",
+    )
+    meta = merge_segments(spark, store, ["s1", "s2", "s3"], "m", tombstones=tomb)
+    kept = [texts[1], texts[2], texts[6], texts[7]]
+    single = _build_off_store(
+        spark, str(tmp_path / "single"), [("all", _corpus_rows(kept))],
+        with_offsets=False,
+    )
+    def flat(st, seg):
+        return sorted(
+            (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+            for r in unpack_postings(st.read_union(spark, "postings", [seg]), True).collect()
+        )
+    assert flat(store, "m") == flat(single, "all")
+    assert meta.docs_count == 4
+    eng = SearchEngine(spark, store)
+    assert eng.topk(_round4_term("spark"), 4).count() == 4
+
+
+def _round4_term(t):
+    from iresearch_spark.search import Term
+
+    return Term(t)
