@@ -322,3 +322,72 @@ def same_position_fn(terms: tuple[str, str], k: int = 100):
         return hits.select(F.col("gdoc").alias("doc_id")).orderBy("doc_id").limit(k)
 
     return run
+
+
+def _span_payloads(toks, starts, lens):
+    """Deterministic per-occurrence payload bytes b'{token}@{start}' — the
+    kind of annotation a real token filter attaches (reference token_stream
+    payload attribute, formats_10.cpp:166-267 pay_buf)."""
+    return [f"{t}@{s}".encode() for t, s in zip(toks.tolist(), starts.tolist())]
+
+
+def gate_store_payloads(spark: SparkSession, sf_dir: str):
+    """Gate index built with the generic payload stream (payload_fn)."""
+    from iresearch_spark.index.segments import IndexStore, build_segment
+
+    key = _fingerprint(sf_dir) + "-pay"
+    if key in _STORES:
+        return _STORES[key]
+    root = os.path.join(CACHE_ROOT, key)
+    store = IndexStore(root)
+    if not os.path.exists(os.path.join(root, "CURRENT")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_segment(
+            spark, store, docs, "pay0",
+            text_col="text", doc_id_col="doc_id", payload_fn=_span_payloads,
+        )
+    _STORES[key] = store
+    return store
+
+
+def payload_stream_fn(term: str):
+    """Payload surface, DuckDB-oracled like highlight_offsets: for every
+    doc containing `term`, emit (n_hits = occurrences via the payload
+    stream, n_matches = payloads whose '{token}@{start}' content BOTH names
+    the term and points at characters spelling it in the source text). The
+    oracle recomputes tf per doc from scratch; equality proves occurrence
+    count AND byte-level payload content survive the build."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from iresearch_spark.search import SearchEngine
+
+        key = (_app_id(spark), _fingerprint(sf_dir), "pay")
+        if key not in _ENGINES:
+            _ENGINES[key] = SearchEngine(spark, gate_store_payloads(spark, sf_dir))
+        pays = _ENGINES[key].payloads([term])
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        j = pays.join(docs, pays["gdoc"] == docs["doc_id"])
+        dec = F.transform("payloads", lambda b: F.decode(b, "UTF-8"))
+        ok = F.transform(
+            dec,
+            lambda s: (F.substring_index(s, "@", 1) == F.lit(term))
+            & (
+                F.lower(
+                    F.col("text").substr(
+                        F.substring_index(s, "@", -1).cast("int") + 1,
+                        F.lit(len(term)),
+                    )
+                )
+                == F.lit(term)
+            ),
+        )
+        return (
+            j.select(
+                F.col("gdoc").alias("doc_id"),
+                F.size("payloads").cast("long").alias("n_hits"),
+                F.size(F.filter(ok, lambda m: m)).cast("long").alias("n_matches"),
+            )
+            .orderBy("doc_id")
+        )
+
+    return run

@@ -174,6 +174,13 @@ def build_registry() -> dict[str, dict]:
         "fn": G.highlight_offsets_fn(HIGH),
         "duck": P.highlight_offsets_sql(P.DUCK, HIGH),
     }
+    # generic payload half of .pay (r4): per-occurrence caller bytes;
+    # oracle = tf recomputed from scratch, engine side counts payloads AND
+    # verifies each '{token}@{start}' points at characters spelling the term
+    r["payload_stream"] = {
+        "fn": G.payload_stream_fn(HIGH),
+        "duck": P.highlight_offsets_sql(P.DUCK, HIGH),
+    }
     # --- scorer variants through the engine ---
     r["tfidf_high"] = _eng(
         lambda: Term(HIGH), P.tfidf_topk(P.DUCK, terms=[HIGH]), scorer="tfidf"
