@@ -159,11 +159,15 @@ def ivf_build(
 
 
 def release_cached(df: DataFrame) -> None:
-    """Unpersist the internal cache a builder attached to its result
-    (ivf_build, minhash_lsh_pairs) once the result has been materialized."""
+    """Unpersist the internal cache(s) a builder attached to its result
+    (ivf_build, minhash_lsh_pairs, ngram_jaccard_pairs) once the result has
+    been materialized. Accepts a single cached DataFrame or a list chain."""
     cached = getattr(df, "_ir_cached_input", None)
-    if cached is not None:
-        cached.unpersist()
+    if cached is None:
+        return
+    for c in cached if isinstance(cached, (list, tuple)) else (cached,):
+        if c is not None:
+            c.unpersist()
 
 
 def ivf_write_bucketed(indexed: DataFrame, path: str) -> None:

@@ -311,16 +311,16 @@ def build_registry() -> dict[str, dict]:
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         cands = minhash_lsh_pairs(docs, shingle=2, threshold=0.3)
-        out = ngram_jaccard_pairs(docs, n=2, threshold=0.6, candidates=cands)
-        out = out.select(
+        lib = ngram_jaccard_pairs(docs, n=2, threshold=0.6, candidates=cands)
+        out = lib.select(
             "id_a",
             "id_b",
             F.expr(
                 "CAST(floor(jaccard * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)"
             ).alias("jaccard"),
         ).orderBy("id_a", "id_b")
-        # signature-cache handle for callers that release after collecting
-        out._ir_cached_input = getattr(cands, "_ir_cached_input", None)  # type: ignore[attr-defined]
+        # cache chain (cand pairs + signatures) for post-collect release
+        out._ir_cached_input = getattr(lib, "_ir_cached_input", None)  # type: ignore[attr-defined]
         return out
 
     r["ngram_jaccard_pairs"] = {
@@ -394,13 +394,13 @@ def build_registry() -> dict[str, dict]:
         cands = minhash_lsh_pairs(docs, shingle=2, threshold=0.5)
         from pyspark.sql import functions as F
 
-        out = ngram_jaccard_pairs(docs, n=2, threshold=0.8, candidates=cands)
-        out = out.select(
+        lib = ngram_jaccard_pairs(docs, n=2, threshold=0.8, candidates=cands)
+        out = lib.select(
             "id_a",
             "id_b",
             F.expr("CAST(floor(jaccard * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)").alias("jaccard"),
         ).orderBy("id_a", "id_b")
-        out._ir_cached_input = getattr(cands, "_ir_cached_input", None)  # type: ignore[attr-defined]
+        out._ir_cached_input = getattr(lib, "_ir_cached_input", None)  # type: ignore[attr-defined]
         return out
 
     def _simhash_pairs(spark, sf_dir):
