@@ -328,6 +328,68 @@ class NormAnalyzer(Analyzer):
         return F.array(out)
 
 
+def _collation_transform(strength: str):
+    import unicodedata
+
+    def one(t):
+        if t is None:
+            return None
+        if strength == "tertiary":
+            return unicodedata.normalize("NFC", t)
+        nfkd = unicodedata.normalize("NFKD", t)
+        if strength == "secondary":
+            return nfkd.casefold()
+        # primary: base letters only
+        return "".join(c for c in nfkd if not unicodedata.combining(c)).casefold()
+
+    return one
+
+
+def _collation_key_udf(strength: str):
+    key = ("collation", strength)
+    if key not in _UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        one = _collation_transform(strength)
+
+        @pandas_udf(StringType())
+        def ckey(s: pd.Series) -> pd.Series:
+            return s.map(one)
+
+        _UDF_CACHE[key] = ckey
+    return _UDF_CACHE[key]
+
+
+@dataclass(frozen=True)
+class CollationAnalyzer(Analyzer):
+    """`collation`: whole input -> ONE sort-key token, so byte order over
+    indexed terms == collation order and by_range becomes a collation
+    range query.
+
+    Reference: core/analysis/collation_token_stream.cpp:321 emits the ICU
+    collation sort key of the input. No ICU in this environment, so this
+    is the pinned ROOT-LOCALE subset by strength:
+      primary:   NFKD -> strip combining marks -> casefold (base letters
+                 only: 'Äpfel' / 'apfel' / 'ÄPFEL' share one key)
+      secondary: NFKD casefold (accents distinguish, case doesn't)
+      tertiary:  NFC identity (code-point order)
+    Code-point order over these keys reproduces UCA root-collation
+    EQUIVALENCE classes per strength; full UCA ordering of exotic scripts
+    (and locale tailorings) needs ICU tables — documented out of scope.
+    Query-side bounds must pass through .key() (same transform)."""
+
+    strength: str = "primary"
+    name: str = field(default="collation", init=False)  # type: ignore[assignment]
+
+    def raw_tokens(self, col: Column) -> Column:
+        return F.array(_collation_key_udf(self.strength)(col))
+
+    def key(self, text: str) -> str:
+        """Driver-side key transform for query bounds."""
+        return _collation_transform(self.strength)(text)
+
+
 @dataclass(frozen=True)
 class StemAnalyzer(Analyzer):
     """`stem`: Porter-stem the whole (lowercased) input as one token.
@@ -428,6 +490,7 @@ _REGISTRY: dict[str, Callable[..., Analyzer]] = {
     "delimiter": DelimiterAnalyzer,
     "multi_delimiter": DelimiterAnalyzer,
     "norm": NormAnalyzer,
+    "collation": CollationAnalyzer,
     "stem": StemAnalyzer,
     "identity": StringAnalyzer,
     "ngram": NgramAnalyzer,

@@ -419,3 +419,57 @@ def _round4_term(t):
     from iresearch_spark.search import Term
 
     return Term(t)
+
+
+def test_collation_analyzer_strengths(spark):
+    """Root-locale collation keys by strength (reference
+    collation_token_stream.cpp:321 subset, no ICU): primary folds case AND
+    accents, secondary folds case only, tertiary is identity; key order
+    gives the accent/case-insensitive sort code-point order cannot."""
+    from iresearch_spark.analysis.analyzers import CollationAnalyzer, get_analyzer
+
+    prim = get_analyzer("collation")
+    assert isinstance(prim, CollationAnalyzer)
+    assert prim.key("Äpfel") == prim.key("apfel") == prim.key("ÄPFEL")
+    sec = CollationAnalyzer(strength="secondary")
+    assert sec.key("Äpfel") == sec.key("äpfel") != sec.key("apfel")
+    ter = CollationAnalyzer(strength="tertiary")
+    assert ter.key("Äpfel") != ter.key("äpfel")
+
+    words = ["zebra", "Äpfel", "Banane"]
+    assert sorted(words) == ["Banane", "zebra", "Äpfel"]  # code-point order
+    assert sorted(words, key=prim.key) == ["Äpfel", "Banane", "zebra"]
+
+    # Catalyst UDF path produces the same keys as the driver-side .key()
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {
+        r["t"]: r["k"][0]
+        for r in df.select("t", prim.raw_tokens(F.col("t")).alias("k")).collect()
+    }
+    assert got == {w: prim.key(w) for w in words}
+
+
+def test_collation_range_query(spark, tmp_path):
+    """by_range over a collation-keyed index: bounds pass through .key(),
+    matches are accent/case-insensitive (the reference's reason to index
+    collation keys at all)."""
+    from iresearch_spark.analysis.analyzers import CollationAnalyzer
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import Range, SearchEngine
+
+    ana = CollationAnalyzer()
+    words = ["Äpfel", "Banane", "zebra", "Ähre", "citrus"]
+    store = IndexStore(str(tmp_path / "coll"))
+    df = spark.createDataFrame(
+        [("r", f"f{i:03d}", "c0", "md", w) for i, w in enumerate(words)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_segment(spark, store, df, "c0", analyzer=ana, with_positions=False)
+    eng = SearchEngine(spark, store)
+    hits = eng.topk(
+        Range(min_term=ana.key("a"), max_term=ana.key("c"), include_max=False,
+              scored_terms_limit=100),
+        k=10,
+    ).collect()
+    # Äpfel (1), Banane (2), Ähre (4) fall in [a, c); zebra/citrus don't
+    assert sorted(r["gdoc"] for r in hits) == [1, 2, 4]
