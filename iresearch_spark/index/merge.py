@@ -272,6 +272,7 @@ def build_doc_map(
     """
     docs = store.read_union(spark, "docmap", seg_names).select("segment", "doc_id")
     if tombstones is not None:
+        tombstones = tombstones.where(F.col("segment").isin(seg_names))
         docs = docs.join(tombstones, ["segment", "doc_id"], "left_anti")
         # Dense renumber WITHOUT a per-segment window (r3; r2 VERDICT
         # next-6): row_number() OVER (PARTITION BY segment) serializes a
@@ -351,16 +352,54 @@ def build_doc_map(
         )
         out._ir_cached_input = keyed  # type: ignore[attr-defined]
         return out
-    counts = {
-        r["segment"]: r["cnt"]
-        for r in docs.groupBy("segment").agg(F.count("*").alias("cnt")).collect()
-    }
-    base, acc = {}, 0
-    for s in seg_names:
-        base[s] = acc
-        acc += counts.get(s, 0)
-    base_map = F.create_map(*[F.lit(x) for s in seg_names for x in (s, base[s])])
+    shifts = docmap_shift_spec(spark, store, seg_names)
+    base_map = F.create_map(*[F.lit(x) for s, sh in shifts.items() for x in (s, sh)])
     return docs.withColumn("new_doc", F.col("doc_id") + base_map[F.col("segment")])
+
+
+def docmap_aggs(spark: SparkSession, store: IndexStore, seg_names: list[str]) -> dict:
+    """Per-segment docmap (n rows, min id, max id) — ONE tiny aggregate;
+    the single source of truth both the docmap remap and the postings
+    remap derive their base shifts from (they diverged in early r4 when
+    the kernel spaced by manifest doc_span while build_doc_map counted
+    docmap rows)."""
+    return {
+        r["segment"]: r
+        for r in store.read_union(spark, "docmap", seg_names)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    }
+
+
+def docmap_shift_spec(
+    spark: SparkSession,
+    store: IndexStore,
+    seg_names: list[str],
+    aggs: dict | None = None,
+) -> dict[str, int]:
+    """No-tombstone base shifts: new_doc = doc_id + shift[segment].
+    Segments keep their internal ids; each segment's [lo, hi] id range is
+    relocated after the previous one's, so merged ranges never overlap
+    even for caller-supplied non-dense or 0-based ids (spacing by range
+    WIDTH, not doc count). The first segment keeps its ids verbatim."""
+    aggs = aggs or docmap_aggs(spark, store, seg_names)
+    shifts: dict[str, int] = {}
+    acc: int | None = None
+    for s in seg_names:
+        a = aggs.get(s)
+        if a is None:  # no docmap rows: nothing to remap
+            shifts[s] = 0
+            continue
+        if acc is None:
+            acc = int(a["lo"])  # first segment: shift 0
+        shifts[s] = acc - int(a["lo"])
+        acc += int(a["hi"]) - int(a["lo"]) + 1
+    return shifts
 
 
 MERGE_INLINE_DELETES_MAX = 2_000_000
@@ -402,19 +441,27 @@ def merge_segments(
     seg_names = sorted(seg_names, key=lambda s: manifest.segments.index(by_name[s]))
 
     if tombstones is None:  # default: apply the store's live-delete mask
-        dels = store.read_deletes(spark)
-        if dels is not None:
-            dels = dels.where(F.col("segment").isin(seg_names))
-            tombstones = dels if dels.limit(1).count() else None
+        tombstones = store.read_deletes(spark)
+    if tombstones is not None:
+        # caller-supplied masks may cover segments outside the merge set
+        # (e.g. the store's whole delete table) — restrict first
+        tombstones = tombstones.where(F.col("segment").isin(seg_names))
+        if not tombstones.limit(1).count():
+            tombstones = None
 
     blocks = store.read_union(spark, "postings", seg_names)
-    with_positions = "pos_bin" in blocks.columns
     seg_cols = {s: store.read(spark, s, "postings").columns for s in seg_names}
+    seg_has_pos = {s: "pos_bin" in c for s, c in seg_cols.items()}
     seg_has_off = {s: "off_bin" in c for s, c in seg_cols.items()}
     seg_has_pay = {s: "pay_bin" in c for s, c in seg_cols.items()}
+    with_positions = all(seg_has_pos.values())
     with_offsets = all(seg_has_off.values())
     with_payloads = all(seg_has_pay.values())
-    for label, has in (("with_offsets", seg_has_off), ("payload", seg_has_pay)):
+    for label, has in (
+        ("with_positions", seg_has_pos),
+        ("with_offsets", seg_has_off),
+        ("payload", seg_has_pay),
+    ):
         if any(has.values()) and not all(has.values()):
             raise ValueError(
                 f"cannot merge a mix of {label} and plain segments ({has}): "
@@ -424,7 +471,10 @@ def merge_segments(
 
     doc_map = build_doc_map(spark, store, seg_names, tombstones).persist()
 
-    # ---- join-free remap spec for the kernel path ----
+    # ---- join-free remap spec for the kernel path; derived from the SAME
+    # docmap aggregates build_doc_map uses, so postings and docmap can
+    # never disagree on the remap ----
+    aggs = docmap_aggs(spark, store, seg_names)
     dels_by_seg: dict[str, np.ndarray] = {}
     shift_by_seg: dict[str, int] = {}
     inline = True
@@ -439,22 +489,11 @@ def merge_segments(
         else:
             inline = False
         if inline:
-            # dense-rank remap needs dense per-segment id ranges; one tiny
-            # aggregate over docmap checks it (ids are dense for every
-            # assign_doc_ids build; caller-supplied ids may not be)
-            aggs = {
-                r["segment"]: r
-                for r in store.read_union(spark, "docmap", seg_names)
-                .groupBy("segment")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.min("doc_id").alias("lo"),
-                    F.max("doc_id").alias("hi"),
-                )
-                .collect()
-            }
+            # dense-rank remap needs dense per-segment id ranges (ids are
+            # dense for every assign_doc_ids build; caller ids may not be)
             inline = all(
-                aggs[s]["hi"] - aggs[s]["lo"] + 1 == aggs[s]["n"] for s in seg_names
+                s in aggs and aggs[s]["hi"] - aggs[s]["lo"] + 1 == aggs[s]["n"]
+                for s in seg_names
             )
         if inline:
             # clip tombstones to each segment's id range so live counts
@@ -468,10 +507,7 @@ def merge_segments(
                 shift_by_seg[s] = acc - a["lo"]
                 acc += a["n"] - dels_by_seg.get(s, np.empty(0)).size
     else:
-        acc = 0  # contiguous base offsets spaced by doc_span
-        for s in seg_names:
-            shift_by_seg[s] = acc
-            acc += by_name[s].doc_span
+        shift_by_seg = docmap_shift_spec(spark, store, seg_names, aggs)
 
     n_part = spark.sparkContext.defaultParallelism
     if inline:

@@ -591,6 +591,17 @@ class SearchEngine:
             return ts.where(cond), leaf.scored_terms_limit
         raise TypeError(f"not an expandable leaf: {leaf}")
 
+    @staticmethod
+    def _succ_upper(vt: list[str], p: str) -> int:
+        """Index of the smallest term > every p-prefixed string (increment
+        the last non-max char of p) — the prefix range's upper bisect."""
+        import bisect
+
+        for j in range(len(p) - 1, -1, -1):
+            if ord(p[j]) < 0x10FFFF:
+                return bisect.bisect_left(vt, p[:j] + chr(ord(p[j]) + 1))
+        return len(vt)
+
     def _vocab_matches(self, leaf: Node) -> list[tuple[str, int]] | None:
         """Driver-local expansion against the cached dictionary (sorted
         terms + bisect for prefix/range, compiled regex for wildcard) —
@@ -608,13 +619,7 @@ class SearchEngine:
         if isinstance(leaf, Prefix):
             p = leaf.prefix
             lo = bisect.bisect_left(vt, p)
-            # upper bound: smallest string > every p-prefixed string
-            # (increment the last non-max char of p)
-            hi = len(vt)
-            for j in range(len(p) - 1, -1, -1):
-                if ord(p[j]) < 0x10FFFF:
-                    hi = bisect.bisect_left(vt, p[:j] + chr(ord(p[j]) + 1))
-                    break
+            hi = self._succ_upper(vt, p)
             return [(vt[i], vd[i]) for i in range(lo, hi)]
         if isinstance(leaf, Range):
             lo = 0
@@ -650,10 +655,7 @@ class SearchEngine:
             lo, hi = 0, len(vt)
             if lit:
                 lo = bisect.bisect_left(vt, lit)
-                for j in range(len(lit) - 1, -1, -1):
-                    if ord(lit[j]) < 0x10FFFF:
-                        hi = bisect.bisect_left(vt, lit[:j] + chr(ord(lit[j]) + 1))
-                        break
+                hi = self._succ_upper(vt, lit)
             # vectorized fullmatch over the cached term Series (the r3
             # driver-side `for t in vocab: rx.match(t)` loop was the round-3
             # Wildcard regression — cost grew with vocabulary, in Python)
@@ -1081,14 +1083,29 @@ class SearchEngine:
         Spark job."""
         self._vocab_pairs()
 
+    def _require_stream(self, col: str, hint: str) -> None:
+        """EVERY committed segment must carry the stream — a mixed store is
+        openable for scoring (read_union null-fills), but a stream consumer
+        would silently omit the plain segments' docs. Fail loudly instead."""
+        missing = [
+            s.name
+            for s in self.manifest.segments
+            if col not in self.store.read(self.spark, s.name, "postings").columns
+        ]
+        if missing:
+            raise ValueError(
+                f"segments {missing} lack the {col} stream (build with {hint}); "
+                "results would silently omit their docs — rebuild those "
+                "segments or merge like with like"
+            )
+
     def offsets(self, terms: list[str]) -> DataFrame:
         """Per-(doc, term) occurrence character spans from the index's
         offset stream — the highlighting-consumer surface (reference .pay
         offsets, formats_10.cpp:166-267). Requires a segment built with
         with_offsets=True. Returns (gdoc, term, starts array<long>,
         lens array<int>), starts indexing the analyzer-cased text."""
-        if "off_bin" not in self.postings.columns:
-            raise ValueError("index built without offsets (with_offsets=True)")
+        self._require_stream("off_bin", "with_offsets=True")
         seg_base = self.seg_base
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1153,8 +1170,7 @@ class SearchEngine:
         (formats_10.cpp:166-267 pay_buf; written by
         build_segment(payload_fn=...)). Returns (gdoc, term, payloads
         array<binary>), one element per occurrence in position order."""
-        if "pay_bin" not in self.postings.columns:
-            raise ValueError("index built without payloads (payload_fn=...)")
+        self._require_stream("pay_bin", "payload_fn=...")
         seg_base = self.seg_base
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

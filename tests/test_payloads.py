@@ -127,3 +127,58 @@ def test_payload_mixed_merge_refused(spark, tmp_path):
     build_segment(spark, store, df, "s2")  # no payload_fn
     with pytest.raises(ValueError, match="payload"):
         merge_segments(spark, store, ["s1", "s2"], "bad")
+
+
+def test_mixed_positions_merge_refused(spark, tmp_path):
+    """Review finding r4: a with_positions / positions-less mix must refuse
+    loudly instead of dying mid-kernel on misaligned token streams."""
+    store = IndexStore(str(tmp_path / "posmix"))
+    rows = _rows(TEXTS)
+    df1 = spark.createDataFrame(
+        rows[:3], "repo string, path string, commit string, lang string, content string"
+    )
+    df2 = spark.createDataFrame(
+        rows[3:], "repo string, path string, commit string, lang string, content string"
+    )
+    build_segment(spark, store, df1, "s1")
+    build_segment(spark, store, df2, "s2", with_positions=False)
+    with pytest.raises(ValueError, match="with_positions"):
+        merge_segments(spark, store, ["s1", "s2"], "bad")
+
+
+def test_merge_foreign_segment_tombstones_ignored(spark, tmp_path):
+    """Review finding r4: caller-supplied tombstones covering segments
+    OUTSIDE the merge set are ignored (the r3 anti-join semantics), not a
+    KeyError in the inline remap."""
+    store = IndexStore(str(tmp_path / "foreign"))
+    rows = _rows(TEXTS)
+    for name, sl in (("s1", rows[:2]), ("s2", rows[2:4]), ("s3", rows[4:])):
+        df = spark.createDataFrame(
+            sl, "repo string, path string, commit string, lang string, content string"
+        )
+        build_segment(spark, store, df, name, payload_fn=_pfn)
+    tomb = spark.createDataFrame(
+        [("s1", 1), ("s3", 1)], "segment string, doc_id long"
+    )
+    meta = merge_segments(spark, store, ["s1", "s2"], "m12", tombstones=tomb)
+    assert meta.docs_count == 3  # s1 doc 1 dropped; s3's tombstone ignored
+    assert {s.name for s in store.current().segments} == {"m12", "s3"}
+
+
+def test_mixed_store_stream_consumers_fail_loudly(spark, tmp_path):
+    """Review finding r4: a store mixing payload-built and plain segments
+    stays scoreable, but offsets()/payloads() raise naming the segments
+    that lack the stream instead of silently omitting their docs."""
+    store = _build(spark, str(tmp_path / "mixq"), [("s1", _rows(TEXTS[:3]))],
+                   with_offsets=True)
+    df = spark.createDataFrame(
+        _rows(TEXTS[3:], start=3),
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_segment(spark, store, df, "s2")  # plain
+    eng = SearchEngine(spark, store)
+    assert eng.topk(Term("spark"), 5).count() > 0  # scoring still works
+    with pytest.raises(ValueError, match="s2.*pay_bin|pay_bin.*s2"):
+        eng.payloads(["spark"])
+    with pytest.raises(ValueError, match="off_bin"):
+        eng.offsets(["spark"])
