@@ -130,6 +130,27 @@ def main() -> None:
         queries[f"gate_{name}"] = round(time.time() - t0, 3)
         release_cached(out_df)  # drop builder-attached caches (LSH sigs)
 
+    # Partial result line BEFORE the (minutes-long) big phase: the driver
+    # takes the LAST json line, so a truncated run still reports phases 1-3
+    # instead of nothing.
+    print(
+        json.dumps(
+            {
+                "metric": "index-build docs/sec + BM25 top-10 latency (packed engine, local)",
+                "value": round(time.time() - t_all, 3),
+                "unit": "sec",
+                "queries": dict(queries),
+                "sf": sf,
+                "bench_docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+                "index_bytes": store.dir_bytes("bench0"),
+                "partial": "big phase pending",
+            }
+        ),
+        flush=True,
+    )
+
     # ---- phase 4: big corpus (r4, VERDICT next-4/next-8) ----------------
     # At 50k docs every query is fixed job overhead and WAND has nothing to
     # skip (the pool fills after one block). This phase sizes the corpus so
