@@ -589,6 +589,8 @@ def merge_segments(
             F.count("*").alias("total"),
             F.count(F.when(F.col("len") > 0, 1)).alias("n"),
             F.coalesce(F.sum(F.when(F.col("len") > 0, F.col("len"))), F.lit(0)).alias("s"),
+            F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
         )
         .collect()[0]
     )
@@ -599,6 +601,8 @@ def merge_segments(
         bytes=store.dir_bytes(new_name),
         created_at=_time.time(),
         docs_total=int(agg["total"]),  # live ids spanned (incl. zero-token docs)
+        min_doc=int(agg["lo"]),
+        max_doc=int(agg["hi"]),
     )
     doc_map.unpersist()
     inner = getattr(doc_map, "_ir_cached_input", None)

@@ -65,6 +65,13 @@ class SegmentMeta:
     # all-stopword content). Reference parity: merge bases are spaced by
     # total segment doc count (core/index/merge_writer.cpp:1527-1571).
     docs_total: int = 0
+    # Actual docmap id range [min_doc, max_doc] (r4): base_doc spacing uses
+    # the range WIDTH so caller-supplied non-dense / 0-based ids can never
+    # produce overlapping gdoc ranges across segments. max_doc = -1 marks
+    # a legacy manifest entry (falls back to dense-1-based doc_span
+    # spacing, the pre-r4 behavior).
+    min_doc: int = 0
+    max_doc: int = -1
 
     @property
     def doc_span(self) -> int:
@@ -133,12 +140,20 @@ class IndexStore:
         """Two-phase: write manifest-<gen>, then atomically swing CURRENT
         (reference index_writer Begin/Finish, index_writer.hpp:536-560)."""
         # contiguous base_doc assignment in segment order; global doc =
-        # base_doc + segment-local id (locals are dense, 1-based when
-        # assigned by build_segment)
-        base = 0
+        # base_doc + segment-local id. Spacing uses each segment's actual
+        # id-range WIDTH (min_doc/max_doc) so non-dense or 0-based caller
+        # ids stay collision-free; the first segment keeps its ids
+        # verbatim. Legacy entries (max_doc sentinel) fall back to the
+        # dense-1-based doc_span spacing they were committed under.
+        acc: int | None = None
         for s in manifest.segments:
-            s.base_doc = base
-            base += s.doc_span
+            known = s.max_doc >= s.min_doc and s.max_doc >= 0
+            lo = s.min_doc if known else 1
+            width = (s.max_doc - s.min_doc + 1) if known else s.doc_span
+            if acc is None:
+                acc = lo
+            s.base_doc = acc - lo
+            acc += width
         path = self._manifest_path(manifest.gen)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -390,6 +405,8 @@ def build_segment(
             F.count("*").alias("total"),
             F.count(F.when(F.col("len") > 0, 1)).alias("n"),
             F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
+            F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
         )
         .collect()[0]
     )
@@ -400,6 +417,8 @@ def build_segment(
         bytes=store.dir_bytes(seg_name),
         created_at=time.time(),
         docs_total=int(agg["total"]),
+        min_doc=int(agg["lo"]),
+        max_doc=int(agg["hi"]),
     )
     docs.unpersist()
 
@@ -455,6 +474,8 @@ def build_segment_from_tokens(
         F.count("*").alias("total"),
         F.count(F.when(F.col("len") > 0, 1)).alias("n"),
         F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
+        F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
+        F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
     ).collect()[0]
     meta = SegmentMeta(
         name=seg_name,
@@ -463,6 +484,8 @@ def build_segment_from_tokens(
         bytes=store.dir_bytes(seg_name),
         created_at=time.time(),
         docs_total=int(agg["total"]),
+        min_doc=int(agg["lo"]),
+        max_doc=int(agg["hi"]),
     )
     if commit:
         m = store.current()
@@ -470,6 +493,60 @@ def build_segment_from_tokens(
         m.gen += 1
         m.analyzer = analyzer_name
         store.commit(m)
+    return meta
+
+
+def import_segment(
+    spark: SparkSession,
+    dst: IndexStore,
+    src: IndexStore,
+    seg_name: str,
+    new_name: str | None = None,
+    commit: bool = True,
+) -> SegmentMeta:
+    """Bulk-import a committed segment from another store (reference
+    IndexWriter::Import, core/index/index_writer.cpp:1653): the immutable
+    segment tables are copied verbatim — no re-tokenize, no re-pack — and
+    registered in the destination manifest (base_doc reassigned at
+    commit). Pending deletes on the source segment are refused (the
+    reference imports a READER snapshot with its mask already applied;
+    consolidate in the source first). Analyzers must match, or the
+    destination's queries would tokenize differently than the imported
+    postings."""
+    import dataclasses
+    import shutil
+
+    sm = src.current()
+    by = {s.name: s for s in sm.segments}
+    if seg_name not in by:
+        raise KeyError(f"segment {seg_name!r} not committed in source store")
+    dels = src.read_deletes(spark)
+    if dels is not None and dels.where(F.col("segment") == seg_name).limit(1).count():
+        raise ValueError(
+            f"source segment {seg_name!r} has pending deletes; consolidate "
+            "the source first (import takes a clean reader snapshot)"
+        )
+    dm = dst.current()
+    if dm.segments and dm.analyzer != sm.analyzer:
+        raise ValueError(
+            f"analyzer mismatch: destination {dm.analyzer!r} vs source {sm.analyzer!r}"
+        )
+    new_name = new_name or seg_name
+    for t in TABLES:
+        sp = src.seg_path(seg_name, t)
+        if os.path.exists(sp):
+            dp = dst.seg_path(new_name, t)
+            if os.path.exists(dp):
+                shutil.rmtree(dp)
+            shutil.copytree(sp, dp)
+    meta = dataclasses.replace(by[seg_name], name=new_name, created_at=time.time())
+    if commit:
+        m = dst.current()
+        m.segments = [s for s in m.segments if s.name != new_name] + [meta]
+        if len(m.segments) == 1:
+            m.analyzer = sm.analyzer
+        m.gen += 1
+        dst.commit(m)
     return meta
 
 

@@ -473,3 +473,54 @@ def test_collation_range_query(spark, tmp_path):
     ).collect()
     # Äpfel (1), Banane (2), Ähre (4) fall in [a, c); zebra/citrus don't
     assert sorted(r["gdoc"] for r in hits) == [1, 2, 4]
+
+
+def test_import_segment(spark, tmp_path):
+    """IndexWriter::Import analogue (index_writer.cpp:1653): a committed
+    segment copies verbatim into another store, base_doc reassigned at
+    commit; queries over the combined store see both segments' docs."""
+    from iresearch_spark.index.segments import IndexStore, build_segment, import_segment
+    from iresearch_spark.search import SearchEngine, Term
+
+    rows_a = _corpus_rows(OFF_TEXTS[:3])
+    rows_b = _corpus_rows(OFF_TEXTS[3:], start=3)
+    src = _build_off_store(spark, str(tmp_path / "src"), [("sa", rows_a)], with_offsets=False)
+    dst = _build_off_store(spark, str(tmp_path / "dst"), [("db", rows_b)], with_offsets=False)
+    n_b = dst.current().docs_count
+
+    meta = import_segment(spark, dst, src, "sa", "imported_a")
+    m = dst.current()
+    assert {s.name for s in m.segments} == {"db", "imported_a"}
+    assert m.docs_count == n_b + src.current().docs_count
+    assert meta.docs_count == src.current().docs_count
+
+    eng = SearchEngine(spark, dst)
+    hits = eng.topk(Term("spark"), 10).collect()
+    # 'spark' docs from BOTH segments, disjoint gdocs
+    assert len(hits) == 5 and len({r["gdoc"] for r in hits}) == 5
+
+    # deletes on the source segment refuse import
+    src.remove(spark, spark.createDataFrame([("sa", 1)], "segment string, doc_id long"))
+    with pytest.raises(ValueError, match="pending deletes"):
+        import_segment(spark, dst, src, "sa", "again")
+
+
+def test_non_dense_caller_ids_no_gdoc_collision(spark, tmp_path):
+    """Range-width base_doc spacing (r4): caller-supplied non-dense ids in
+    multiple segments must not collide at query time (doc_span spacing
+    could overlap gdoc ranges — same hazard class as the merge remap)."""
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import All, SearchEngine, Term
+
+    store = IndexStore(str(tmp_path / "sparse"))
+    a = spark.createDataFrame(
+        [(0, "alpha spark"), (5, "beta spark")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame([(3, "gamma spark")], "doc_id long, text string")
+    build_segment(spark, store, a, "sa", text_col="text", key_cols=["doc_id"], doc_id_col="doc_id")
+    build_segment(spark, store, b, "sb", text_col="text", key_cols=["doc_id"], doc_id_col="doc_id")
+    eng = SearchEngine(spark, store)
+    universe = [r["gdoc"] for r in eng.doc_universe().collect()]
+    assert len(universe) == len(set(universe)) == 3
+    hits = eng.topk(Term("spark"), 10).collect()
+    assert len(hits) == 3 and len({r["gdoc"] for r in hits}) == 3
