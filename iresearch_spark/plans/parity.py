@@ -88,6 +88,7 @@ def bm25_topk(
     k: int = 10,
     merge: str = "sum",
     doc_pred: str | None = None,
+    term_boosts: dict[str, float] | None = None,
 ) -> str:
     """Disjunction/conjunction/min-match BM25 top-k over exact terms or a
     term predicate (prefix/wildcard/range/fuzzy expansion, scored per
@@ -110,10 +111,22 @@ def bm25_topk(
     if doc_pred:
         excl += f" AND ({doc_pred})"
     agg = {"sum": "SUM", "max": "MAX", "min": "MIN"}[merge]
+    score_expr = SCORE_EXPR
+    if term_boosts:
+        # per-term boost folds into the idf factor exactly like the engine
+        # (Precise scorers compute idf' = boost * idf, then idf' * rest)
+        cases = " ".join(
+            f"WHEN '{t}' THEN {float(b)}e0" for t, b in sorted(term_boosts.items())
+        )
+        score_expr = score_expr.replace(
+            IDF_EXPR,
+            f"((CASE tf.term {cases} ELSE 1e0 END) * {IDF_EXPR})",
+            1,
+        )
     return f"""{tok_ctes(d)},
 hits AS (
   SELECT tf.doc_id AS doc_id,
-         {agg}({SCORE_EXPR}) AS raw_score,
+         {agg}({score_expr}) AS raw_score,
          CAST(count(*) AS BIGINT) AS n_terms
   FROM tf
   JOIN df ON tf.term = df.term

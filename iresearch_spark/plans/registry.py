@@ -24,6 +24,7 @@ from iresearch_spark.search.query import (
     Prefix,
     Range,
     Term,
+    Terms,
     VarPhrase,
     Wildcard,
 )
@@ -75,6 +76,16 @@ def build_registry() -> dict[str, dict]:
             (Term(HIGH), Term(MED), Term("spark"), Term("window"), Term("table"), Term(LOW))
         ),
         P.bm25_topk(P.DUCK, terms=[HIGH, MED, "spark", "window", "table", LOW]),
+    )
+    # by_terms with PER-TERM boosts and kMax merge (by_terms_options
+    # search_term{term, boost} + merge_type, terms_filter.hpp:36-64 — r4)
+    r["terms_boosted"] = _eng(
+        lambda: Terms((HIGH, MED), boosts=(2.0, 0.5)),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED], term_boosts={HIGH: 2.0, MED: 0.5}),
+    )
+    r["terms_kmax"] = _eng(
+        lambda: Terms((HIGH, MED), merge="max"),
+        P.bm25_topk(P.DUCK, terms=[HIGH, MED], merge="max"),
     )
     r["min_match_2of3"] = _eng(
         lambda: Or((Term(HIGH), Term(MED), Term(LOW)), min_match=2),

@@ -820,7 +820,22 @@ class SearchEngine:
         if isinstance(node, (Term, Terms, Prefix, Wildcard, Fuzzy, Range)):
             expansion, tail = self.expand_tiered(node)
             min_match = node.min_match if isinstance(node, Terms) else 1
-            scorers = self._leaf_scorers(expansion, boost * node.boost)
+            merge = "sum"
+            if isinstance(node, Terms):
+                merge = node.merge
+            if isinstance(node, Terms) and node.boosts is not None:
+                # per-term boosts (by_terms_options::search_term boost)
+                if len(node.boosts) != len(node.terms):
+                    raise ValueError("Terms.boosts must align with Terms.terms")
+                tb = dict(zip(node.terms, node.boosts))
+                scorers = {
+                    t: self.scorer.prepare(
+                        self.field, df, boost * node.boost * tb.get(t, 1.0)
+                    )
+                    for t, df in expansion
+                }
+            else:
+                scorers = self._leaf_scorers(expansion, boost * node.boost)
             # unscored tail (reference lazy_bitset_iterator): matched, but
             # contributes score 0 — tail-only docs surface at score 0. ONE
             # shared zero-scorer instance: a wide expansion's kernel closure
@@ -830,7 +845,7 @@ class SearchEngine:
                 zero = PreciseConstTermScorer(0.0) if self.precise else ConstTermScorer(0.0)
                 for t in tail:
                     scorers[t] = zero
-            return scorers, min_match, 0.0, "sum"
+            return scorers, min_match, 0.0, merge
         if (
             isinstance(node, (And, Or))
             and all(isinstance(c, Term) for c in node.children)

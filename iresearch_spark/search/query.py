@@ -42,11 +42,16 @@ class Term(Node):
 
 @dataclass(frozen=True)
 class Terms(Node):
-    """Set-of-terms with min_match (core/search/terms_filter.cpp)."""
+    """Set-of-terms with min_match, optional PER-TERM boosts and a score
+    merge type (reference by_terms_options: search_term{term, boost} +
+    merge_type, core/search/terms_filter.hpp:36-64). `boosts` aligns
+    positionally with `terms`; merge is kSum/kMax/kMin."""
 
     terms: tuple[str, ...]
     min_match: int = 1
     boost: float = 1.0
+    boosts: tuple[float, ...] | None = None
+    merge: str = "sum"
 
 
 @dataclass(frozen=True)
