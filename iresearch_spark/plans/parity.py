@@ -142,12 +142,19 @@ ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
 LIMIT {k}"""
 
 
-def phrase_topk(d: str, terms: list[str], k: int = 10) -> str:
+def phrase_topk(d: str, terms: list[str], k: int = 10, offsets: list[int] | None = None) -> str:
     """Ordered positional phrase, BM25 over phrase frequency with
-    idf = sum of member idfs (engine/oracle pinned semantics)."""
+    idf = sum of member idfs (engine/oracle pinned semantics). `offsets`
+    gives each part's explicit position offset from the phrase start
+    (reference by_phrase push_back offs, phrase_filter.hpp) — default
+    0,1,2,... is the adjacent phrase."""
+    offsets = offsets or list(range(len(terms)))
     joins, conds = [], []
     for i in range(1, len(terms)):
-        joins.append(f"JOIN tok t{i} ON t0.doc_id = t{i}.doc_id AND t{i}.pos = t0.pos + {i}")
+        gap = offsets[i] - offsets[0]
+        joins.append(
+            f"JOIN tok t{i} ON t0.doc_id = t{i}.doc_id AND t{i}.pos = t0.pos + {gap}"
+        )
         conds.append(f"t{i}.term = '{terms[i]}'")
     join_sql = "\n  ".join(joins)
     cond_sql = " AND ".join([f"t0.term = '{terms[0]}'"] + conds)

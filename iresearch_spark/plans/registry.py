@@ -154,6 +154,12 @@ def build_registry() -> dict[str, dict]:
     r["phrase_med"] = _eng(
         lambda: Phrase(tuple(PHRASE_MED)), P.phrase_topk(P.DUCK, terms=PHRASE_MED)
     )
+    # fixed phrase with an explicit position GAP ("hash ? key" — reference
+    # by_phrase push_back offsets, phrase_filter.hpp; r4)
+    r["phrase_gap"] = _eng(
+        lambda: Phrase(("hash", "key"), offsets=(0, 2)),
+        P.phrase_topk(P.DUCK, terms=["hash", "key"], offsets=[0, 2]),
+    )
     r["varphrase_prefix"] = _eng(  # variadic phrase: [par*] [filter]
         lambda: VarPhrase((Prefix("par", scored_terms_limit=NO_LIMIT), Term("filter"))),
         P.varphrase_topk(P.DUCK, ["term LIKE 'par%'", "term = 'filter'"]),

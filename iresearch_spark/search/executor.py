@@ -893,6 +893,10 @@ class SearchEngine:
             slots = [[t for t, _ in self.expand(n)] for n in leaf.slots]
             return slots, list(range(len(slots)))
         terms = list(leaf.terms)
+        if getattr(leaf, "offsets", None) is not None:
+            if len(leaf.offsets) != len(terms):
+                raise ValueError("Phrase.offsets must align with Phrase.terms")
+            return [[t] for t in terms], list(leaf.offsets)
         return [[t] for t in terms], list(range(len(terms)))
 
     def _phrase_hits(self, leaf: Node, boost: float) -> DataFrame:

@@ -105,10 +105,13 @@ class Phrase(Node):
     """Ordered positional phrase (core/search/phrase_filter.cpp,
     phrase_iterator.hpp FixedPhraseFrequency). Score: BM25 over the phrase
     frequency with idf = sum of member-term idfs (Lucene-style; pinned in
-    tests/oracle.py)."""
+    tests/oracle.py). `offsets` gives each part's explicit position offset
+    from the phrase start (reference by_phrase push_back offs — gaps like
+    "a ? b" are offsets (0, 2)); default adjacency 0,1,2,..."""
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    offsets: tuple[int, ...] | None = None
 
 
 @dataclass(frozen=True)
