@@ -147,6 +147,13 @@ def build_registry() -> dict[str, dict]:
         lambda: Fuzzy("batch", distance=2, max_terms=NO_LIMIT),
         P.bm25_topk(P.DUCK, term_pred="levenshtein(tf.term, 'batch') <= 2"),
     )
+    # Damerau (with_transpositions, levenshtein_utils.cpp automata — r4):
+    # 'bathc' is 'batch' with a transposed tail, distance 1 only under
+    # Damerau (plain levenshtein = 2, so the plain arm would need d=2)
+    r["fuzzy_damerau"] = _eng(
+        lambda: Fuzzy("bathc", distance=1, transpositions=True, max_terms=NO_LIMIT),
+        P.bm25_topk(P.DUCK, term_pred="damerau_levenshtein(tf.term, 'bathc') <= 1"),
+    )
     # --- phrase (positional kernel) ---
     r["phrase_low"] = _eng(
         lambda: Phrase(tuple(PHRASE)), P.phrase_topk(P.DUCK, terms=PHRASE)

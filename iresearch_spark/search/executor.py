@@ -144,6 +144,39 @@ def _not_deleted_mask(deleted: np.ndarray, gdocs: np.ndarray) -> np.ndarray:
     return deleted[idx] != gdocs
 
 
+def _damerau(a: str, b: str) -> int:
+    """TRUE (unrestricted) Damerau-Levenshtein — transposed pairs may be
+    edited again ('ca'->'abc' = 2), matching DuckDB damerau_levenshtein and
+    the reference's with_transpositions automata semantics
+    (core/utils/levenshtein_utils.cpp)."""
+    la, lb = len(a), len(b)
+    maxdist = la + lb
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    last_row: dict[str, int] = {}
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            k = last_row.get(b[j - 1], 0)
+            l = last_col
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                last_col = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute/match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose block
+            )
+        last_row[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def _topk_sums_kernel(
     scorers: dict[str, TermScorer],
     other_ub: dict[str, float],
@@ -676,8 +709,26 @@ class SearchEngine:
                 return local
             local.sort(key=lambda p: (-p[1], p[0]))
             return local[: leaf.scored_terms_limit]
+        if isinstance(leaf, Fuzzy) and leaf.transpositions:
+            return self._fuzzy_damerau_pairs(leaf)[: leaf.max_terms]
         df, limit = self._leaf_term_matches(leaf)
         return self._collect_expansion(df, limit)
+
+    def _fuzzy_damerau_pairs(self, leaf: Fuzzy) -> list[tuple[str, int]]:
+        """Damerau (with_transpositions) expansion: SQL plain-levenshtein
+        <= 2d proposes a superset JVM-side (a transposition costs at most 2
+        substitutions, so damerau <= d implies levenshtein <= 2d), exact
+        Damerau verifies the small candidate set on the driver."""
+        cand = self.term_stats.where(
+            F.levenshtein(F.col("term"), F.lit(leaf.term)) <= 2 * leaf.distance
+        ).collect()
+        pairs = [
+            (r["term"], r["doc_freq"])
+            for r in cand
+            if _damerau(r["term"], leaf.term) <= leaf.distance
+        ]
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        return pairs
 
     def expand_tiered(self, leaf: Node) -> tuple[list[tuple[str, int]], list[str]]:
         """(scored expansion, unscored tail): the reference multiterm query
@@ -690,6 +741,9 @@ class SearchEngine:
         _term_filtered)."""
         if isinstance(leaf, (Term, Terms)):
             return self.expand(leaf), []
+        if isinstance(leaf, Fuzzy) and leaf.transpositions:
+            pairs = self._fuzzy_damerau_pairs(leaf)
+            return pairs[: leaf.max_terms], [t for t, _ in pairs[leaf.max_terms :]]
         local = self._vocab_matches(leaf)
         if local is not None:
             local.sort(key=lambda p: (-p[1], p[0]))

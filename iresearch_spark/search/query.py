@@ -80,12 +80,15 @@ class Wildcard(Node):
 @dataclass(frozen=True)
 class Fuzzy(Node):
     """Levenshtein <= distance (core/search/levenshtein_filter.cpp);
-    max_terms=50 mirrors the bench default (utils/index-search.cpp:413)."""
+    max_terms=50 mirrors the bench default (utils/index-search.cpp:413).
+    transpositions=True uses Damerau-Levenshtein (the reference's
+    with_transpositions parametric automata, levenshtein_utils.cpp)."""
 
     term: str
     distance: int = 1
     max_terms: int = 50
     boost: float = 1.0
+    transpositions: bool = False
 
 
 @dataclass(frozen=True)

@@ -524,3 +524,28 @@ def test_non_dense_caller_ids_no_gdoc_collision(spark, tmp_path):
     assert len(universe) == len(set(universe)) == 3
     hits = eng.topk(Term("spark"), 10).collect()
     assert len(hits) == 3 and len({r["gdoc"] for r in hits}) == 3
+
+
+def test_damerau_matches_duckdb_property():
+    """_damerau implements TRUE (unrestricted) Damerau-Levenshtein —
+    property-checked against DuckDB's damerau_levenshtein over random
+    word pairs (seeded), including the transposed-pair-then-edit class
+    ('ca'->'abc' = 2, where restricted OSA says 3)."""
+    import random
+
+    import duckdb
+
+    from iresearch_spark.search.executor import _damerau
+
+    assert _damerau("ca", "abc") == 2
+    assert _damerau("batch", "bathc") == 1
+    assert _damerau("batch", "batch") == 0
+    con = duckdb.connect()
+    rng = random.Random(7)
+    alpha = "abcde"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 8)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 8)))
+        exp = con.execute("SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _damerau(a, b) == exp, (a, b)
+    con.close()
