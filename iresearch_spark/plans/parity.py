@@ -606,6 +606,31 @@ WHERE i * 1e0 / (sa.n + sb.n - i) >= {threshold}e0
 ORDER BY id_a, id_b"""
 
 
+def bm25_legacy_topk(d: str, terms: list[str], k: int = 10) -> str:
+    """Legacy-Norm BM25 (NormType::kNorm, scorer_impl.hpp:108-115): tf' =
+    sqrt(tf), stored norm = 1/sqrt(dl) (norm.cpp:38) plugged into the SAME
+    linear c1 as Norm2 (bm25.cpp:330-361 kNorm branch) — orderings differ
+    from Norm2, exactly bm25_test's Norm-vs-Norm2 distinction."""
+    expr = (
+        f"{IDF_EXPR} * ({K1 + 1.0}e0 * sqrt(tf)) / "
+        f"({K1}e0 * {1.0 - B}e0 + ({K1}e0 * {B}e0 / avgdl) / sqrt(dl) + sqrt(tf))"
+    )
+    return f"""{tok_ctes(d)},
+hits AS (
+  SELECT tf.doc_id AS doc_id, SUM({expr}) AS raw_score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_terms_in(terms)}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM hits
+ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
+LIMIT {k}"""
+
+
 def tfidf_topk(d: str, terms: list[str], with_norms: bool = False, k: int = 10) -> str:
     """TF-IDF scorer (reference core/search/tfidf.cpp:185-187,274-277):
     idf = ln(1 + (N+1)/(n+1)); score = sum(sqrt(tf) * idf [/ sqrt(dl)])."""

@@ -230,6 +230,13 @@ def build_registry() -> dict[str, dict]:
         P.bm25_variant_topk(P.DUCK, terms=[HIGH], k1=0.0, b=0.75),
         k=0.0,
     )
+    # legacy-Norm BM25 (NormType::kNorm — sqrt(tf) + stored 1/sqrt(dl);
+    # bm25_test's Norm-vs-Norm2 ordering distinction, r4)
+    r["bm25_legacy_high"] = _eng(
+        lambda: Term(HIGH),
+        P.bm25_legacy_topk(P.DUCK, terms=[HIGH]),
+        legacy_norms=True,
+    )
     # --- structural filters (relational formulations) ---
     r["column_existence"] = {
         "fn": G.column_existence_fn,  # reads the committed docmap (columnstore)

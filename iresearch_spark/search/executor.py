@@ -804,6 +804,12 @@ class SearchEngine:
             *self.SCAN_COLS
         )
         mode = mode or self.leaf_mode
+        if prune and not all(
+            getattr(sc, "monotone_dl", True) for sc in scorers.values()
+        ):
+            # (max_tf, min_dl) does not dominate a block for scorers that
+            # reward longer docs (legacy-Norm BM25) — skip nothing
+            prune = False
         if len(scorers) == 1:
             # single leg: the block's own (max_tf, min_dl) bound suffices —
             # no whole-list bound needed (works for any scorer, incl. TFIDF)

@@ -62,6 +62,11 @@ class BM25(Scorer):
     # factored form (bm25.cpp:345-352 cache fill, :404-409 evaluation) —
     # SURVEY.md §2.D's named rank-identity pitfall vs the reference binary
     tiny_norms: bool = False
+    # opt-in legacy-Norm parity (NormType::kNorm, scorer_impl.hpp:108-115):
+    # tf' = float32 sqrt(tf) (bm25.cpp kSQRT), stored norm =
+    # f32(1/f32(sqrt(f64(dl)))) (norm.cpp:38), c1 = k(1-b) + (kb/avgdl)*norm
+    # — produces DIFFERENT orderings than Norm2 (bm25_test pins both)
+    legacy_norms: bool = False
     name: str = "bm25"
 
     def idf(self, n: int, field: FieldStats) -> float:
@@ -78,6 +83,10 @@ class BM25(Scorer):
         inv_avg = F32(kb) / F32(field.avg_dl) if field.avg_dl else F32(0.0)
         if self.tiny_norms:
             return BM25TinyNormTermScorer(
+                c0=float(c0), c1_base=float(k1b), c1_slope=float(inv_avg)
+            )
+        if self.legacy_norms:
+            return BM25LegacyTermScorer(
                 c0=float(c0), c1_base=float(k1b), c1_slope=float(inv_avg)
             )
         return BM25TermScorer(c0=float(c0), c1_base=float(k1b), c1_slope=float(inv_avg))
@@ -102,6 +111,11 @@ class TermScorer:
     """Per-(query-term) compiled scorer: vectorized over posting arrays."""
 
     dtype = np.float32
+    # True when score is non-increasing in dl, i.e. (max_tf, min_dl)
+    # dominates a block and block-max WAND bounds are valid. Legacy-Norm
+    # BM25 REWARDS longer docs (c1 shrinks with dl), so its block bound
+    # would need max_dl — pruning is disabled for such scorers.
+    monotone_dl = True
 
     def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
         raise NotImplementedError
@@ -177,6 +191,33 @@ class BM25TinyNormTermScorer(TermScorer):
 
 
 @dataclass(frozen=True)
+class BM25LegacyTermScorer(TermScorer):
+    """Legacy-Norm BM25 (NormType::kNorm): tf' = f32 sqrt(tf), stored
+    norm = f32(1)/f32(sqrt(f64(dl))), c1 = c1_base + c1_slope * norm,
+    score = c0 - c0*c1/(c1 + tf') — bm25.cpp:330-361 with the kNorm
+    branch. NOT dl-monotone (block-max pruning disabled via monotone_dl)."""
+
+    c0: float
+    c1_base: float
+    c1_slope: float
+    monotone_dl = False
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        tf = np.sqrt(tfs.astype(np.float32, copy=False)).astype(np.float32)
+        denom = np.sqrt(dls.astype(np.float64)).astype(np.float32)
+        norm = (np.float32(1.0) / denom).astype(np.float32)
+        c1 = F32(self.c1_base) + F32(self.c1_slope) * norm
+        c0 = F32(self.c0)
+        return (c0 - c0 * c1 / (c1 + tf)).astype(np.float32, copy=False)
+
+    def term_ub(self) -> float:
+        return float(F32(self.c0))
+
+    def max_score(self, max_tf: int, min_dl: int) -> float:
+        return float(F32(self.c0))  # dl-direction unsafe: whole-list cap
+
+
+@dataclass(frozen=True)
 class TFIDFTermScorer(TermScorer):
     c0: float
     with_norms: bool = False
@@ -225,6 +266,7 @@ class PreciseBM25(Scorer):
 
     k: float = 1.2
     b: float = 0.75
+    legacy_norms: bool = False
     name: str = "bm25_precise"
     dtype = np.float64
 
@@ -235,6 +277,10 @@ class PreciseBM25(Scorer):
         idf = self.idf(doc_freq, field)
         if self.k == 0.0:
             return PreciseConstTermScorer(boost * idf)
+        if self.legacy_norms:
+            return PreciseBM25LegacyTermScorer(
+                idf=boost * idf, k=self.k, b=self.b, avg_dl=field.avg_dl
+            )
         return PreciseBM25TermScorer(
             idf=boost * idf, k=self.k, b=self.b, avg_dl=field.avg_dl
         )
@@ -276,6 +322,29 @@ class PreciseBM25TermScorer(TermScorer):
 
 
 @dataclass(frozen=True)
+class PreciseBM25LegacyTermScorer(TermScorer):
+    """float64 legacy-Norm BM25 matching the parity SQL expression tree:
+    idf * ((k+1)*sqrt(tf)) / (k*(1-b) + (k*b/avgdl)/sqrt(dl) + sqrt(tf))."""
+
+    idf: float
+    k: float
+    b: float
+    avg_dl: float
+    dtype = np.float64
+    monotone_dl = False
+
+    def scores(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        tf = np.sqrt(tfs.astype(np.float64, copy=False))
+        dl = dls.astype(np.float64, copy=False)
+        num = self.idf * ((self.k + 1.0) * tf)
+        den = self.k * (1.0 - self.b) + (self.k * self.b / self.avg_dl) / np.sqrt(dl) + tf
+        return num / den
+
+    def term_ub(self) -> float:
+        return self.idf * (self.k + 1.0)
+
+
+@dataclass(frozen=True)
 class PreciseTFIDFTermScorer(TermScorer):
     idf: float
     with_norms: bool = False
@@ -307,6 +376,7 @@ _SCORERS = {
     "bm1": lambda **kw: BM25(k=0.0, **{k: v for k, v in kw.items() if k != "k"}),
     "tfidf": lambda **kw: TFIDF(**kw),
     "bm25_tiny": lambda **kw: BM25(tiny_norms=True, **kw),
+    "bm25_legacy": lambda **kw: BM25(legacy_norms=True, **kw),
     "bm25_precise": lambda **kw: PreciseBM25(**kw),
     "tfidf_precise": lambda **kw: PreciseTFIDF(**kw),
 }

@@ -549,3 +549,56 @@ def test_damerau_matches_duckdb_property():
         exp = con.execute("SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert _damerau(a, b) == exp, (a, b)
     con.close()
+
+
+def test_bm25_legacy_norm_golden(spark, tmp_path):
+    """Legacy-Norm BM25 (NormType::kNorm): engine float32 scores bit-match
+    an independent NumPy oracle implementing sqrt(tf) + stored-1/sqrt(dl)
+    semantics, the ordering DIFFERS from Norm2 on this fixture (bm25_test's
+    Norm-vs-Norm2 property), and wand == exhaustive (pruning self-disables
+    for non-dl-monotone scorers)."""
+    import math
+
+    import numpy as np
+
+    from iresearch_spark.index.merge import unpack_postings
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import SearchEngine, Term
+    from iresearch_spark.search.scorers import BM25
+
+    F32 = np.float32
+    store = IndexStore(str(tmp_path / "legacy"))
+    df = spark.createDataFrame(
+        _corpus_rows(DOCS + OFF_TEXTS),
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_segment(spark, store, df, "seg0")
+    eng = SearchEngine(spark, store, scorer=BM25(legacy_norms=True))
+    got = [(r["gdoc"], r["score"]) for r in eng.topk(Term("spark"), 10).collect()]
+    nowand = [(r["gdoc"], r["score"]) for r in eng.topk(Term("spark"), 10, wand=False).collect()]
+    assert got == nowand
+
+    m = store.current()
+    N, avg_dl = m.docs_count, m.sum_len / m.docs_count
+    flat = {
+        r["doc_id"]: (r["tf"], r["dl"])
+        for r in unpack_postings(store.read_union(spark, "postings", ["seg0"]), True)
+        .where("term = 'spark'")
+        .collect()
+    }
+    n = len(flat)
+    idf = F32(math.log1p((N - n + 0.5) / (n + 0.5)))
+    c0 = F32(1.0) * F32(2.2) * idf
+    c1b = F32(1.2) * F32(0.25)
+    slope = (F32(1.2) * F32(0.75)) / F32(avg_dl)
+    def score(tf, dl):
+        tfp = F32(np.sqrt(F32(tf)))
+        norm = F32(1.0) / F32(np.sqrt(np.float64(dl)))
+        c1 = c1b + slope * norm
+        return float(F32(c0 - c0 * c1 / (c1 + tfp)))
+    exp = sorted(((d, score(tf, dl)) for d, (tf, dl) in flat.items()),
+                 key=lambda t: (-t[1], t[0]))[:10]
+    assert got == exp
+    # Norm2 ordering differs on this fixture
+    n2 = [r["gdoc"] for r in SearchEngine(spark, store).topk(Term("spark"), 10).collect()]
+    assert [g for g, _ in got] != n2
