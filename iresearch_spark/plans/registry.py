@@ -526,7 +526,28 @@ def build_registry() -> dict[str, dict]:
             "true AS overlap_floor_met, true AS scores_exact"
         ),
     }
-    return r
+    # --- driver-window ordering (r4 VERDICT next-1): the driver emits only
+    # the first ~50 insertion-ordered entries, so the 8 near-redundant
+    # scorer-variant / boolean-permutation rows below (each a parameter
+    # tweak of a row that stays in the window, and each pinned by its own
+    # pytest oracle) move to the TAIL. This pulls every LLM-pipeline entry
+    # (quality/embedding/ANN/streaming/minhash/simhash/neardup) inside the
+    # driver's CORRECTNESS window — including the two that had never had a
+    # driver row (embedding_neardup_pairs, ann_lsh_topk).
+    tail = (
+        "or4",            # wide-Or permutation of or_high_med
+        "or6",            # wider-Or permutation of or_high_med
+        "terms_kmax",     # Terms merge=max ~ or_kmax_high_med
+        "or_kmax_high_med",
+        "or_kmin_high_med",
+        "bm15_high_med",  # BM25 b=0 variant of or_high_med
+        "bm11_high_med",  # BM25 b=1 variant of or_high_med
+        "bm1_high",       # BM25 k=0 variant of term_high
+    )
+    ordered = {k: v for k, v in r.items() if k not in tail}
+    for k in tail:
+        ordered[k] = r[k]
+    return ordered
 
 
 REGISTRY = build_registry()

@@ -1188,45 +1188,46 @@ class SearchEngine:
         seg_base = self.seg_base
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Batch-wide segmented decode (merge._unpack_kernel pattern —
+            # r4 VERDICT next-2): ONE varint decode per stream per Arrow
+            # batch, doc ids and occurrence starts by cumsum-with-reset at
+            # block/doc boundaries; no per-row Python loop.
             for pdf in batches:
-                n = len(pdf)
-                if n == 0:
+                R = len(pdf)
+                if R == 0:
                     continue
-                segs = pdf["segment"].to_numpy()
-                terms_a = pdf["term"].to_numpy()
-                docsb = pdf["docs_bin"].to_numpy()
-                tfsb = pdf["tfs_bin"].to_numpy()
-                offb = pdf["off_bin"].to_numpy()
-                out_g, out_t, out_s, out_l = [], [], [], []
-                for i in range(n):
-                    docs = delta_decode(varint_decode(docsb[i])).astype(
-                        np.int64
-                    ) + seg_base.get(segs[i], 0)
-                    tfs = varint_decode(tfsb[i]).astype(np.int64)
-                    ov = varint_decode(offb[i]).astype(np.int64)
-                    sd = ov[0::2]
-                    ln = ov[1::2]
-                    # absolute starts: global cumsum minus per-doc base
-                    c = np.cumsum(sd)
-                    tok_starts = np.concatenate(
-                        ([0], np.cumsum(tfs)[:-1])
-                    ).astype(np.int64)
-                    adjust = np.repeat(c[tok_starts] - sd[tok_starts], tfs)
-                    st = c - adjust
-                    split = np.cumsum(tfs)[:-1]
-                    out_g.append(docs)
-                    out_t.extend([terms_a[i]] * docs.size)
-                    out_s.extend(np.split(st, split))
-                    out_l.extend(np.split(ln.astype(np.int32), split))
-                if out_g:
-                    yield pd.DataFrame(
-                        {
-                            "gdoc": np.concatenate(out_g),
-                            "term": out_t,
-                            "starts": out_s,
-                            "lens": out_l,
-                        }
-                    )
+                counts = pdf["doc_count"].to_numpy().astype(np.int64)
+                bounds = np.concatenate(([0], np.cumsum(counts)))
+                D = int(bounds[-1])
+                if D == 0:
+                    continue
+                row_of_doc = np.repeat(np.arange(R), counts)
+                ddeltas = varint_decode(b"".join(pdf["docs_bin"])).astype(np.int64)
+                cs = np.cumsum(ddeltas)
+                starts = bounds[:-1]
+                carry = cs[starts] - ddeltas[starts]  # delta reset per block
+                seg_codes, seg_uniq = pd.factorize(pdf["segment"].to_numpy())
+                base_of_seg = np.array(
+                    [seg_base.get(s, 0) for s in seg_uniq], dtype=np.int64
+                )
+                docs = cs - carry[row_of_doc] + base_of_seg[seg_codes[row_of_doc]]
+                tfs = varint_decode(b"".join(pdf["tfs_bin"])).astype(np.int64)
+                ov = varint_decode(b"".join(pdf["off_bin"])).astype(np.int64)
+                sd = ov[0::2]  # start deltas (reset at each doc start)
+                ln = ov[1::2]
+                tok_bounds = np.cumsum(tfs)
+                doc_tok_start = np.concatenate(([0], tok_bounds[:-1]))
+                c = np.cumsum(sd)
+                adjust = np.repeat(c[doc_tok_start] - sd[doc_tok_start], tfs)
+                st = c - adjust
+                yield pd.DataFrame(
+                    {
+                        "gdoc": docs,
+                        "term": pdf["term"].to_numpy()[row_of_doc],
+                        "starts": np.split(st, tok_bounds[:-1]),
+                        "lens": np.split(ln.astype(np.int32), tok_bounds[:-1]),
+                    }
+                )
 
         from pyspark.sql.types import ArrayType, StringType
 
@@ -1239,7 +1240,7 @@ class SearchEngine:
             ]
         )
         blocks = self.postings.where(F.col("term").isin(*terms)).select(
-            "segment", "term", "docs_bin", "tfs_bin", "off_bin"
+            "segment", "term", "doc_count", "docs_bin", "tfs_bin", "off_bin"
         )
         return self._mask(blocks.mapInPandas(kernel, schema))
 
@@ -1253,43 +1254,48 @@ class SearchEngine:
         seg_base = self.seg_base
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Batch-wide segmented decode (merge._unpack_kernel pattern —
+            # r4 VERDICT next-2): mixed-store rows (paylen_bin null = plain
+            # segment) drop via one boolean mask, then ONE varint decode
+            # per stream; per-occurrence byte spans come from offset
+            # arithmetic over the concatenated payload buffer.
             for pdf in batches:
-                n = len(pdf)
-                if n == 0:
+                pdf = pdf[pdf["paylen_bin"].notna()]
+                R = len(pdf)
+                if R == 0:
                     continue
-                segs = pdf["segment"].to_numpy()
-                terms_a = pdf["term"].to_numpy()
-                docsb = pdf["docs_bin"].to_numpy()
-                tfsb = pdf["tfs_bin"].to_numpy()
-                plb = pdf["paylen_bin"].to_numpy()
-                pb = pdf["pay_bin"].to_numpy()
-                out_g, out_t, out_p = [], [], []
-                for i in range(n):
-                    if plb[i] is None:  # mixed store: plain segment's docs
-                        continue  # carry no payload stream
-                    docs = delta_decode(varint_decode(docsb[i])).astype(
-                        np.int64
-                    ) + seg_base.get(segs[i], 0)
-                    tfs = varint_decode(tfsb[i]).astype(np.int64)
-                    lens = varint_decode(plb[i]).astype(np.int64)
-                    b0 = np.concatenate(([0], np.cumsum(lens)))
-                    buf = pb[i]
-                    tok_bounds = np.concatenate(([0], np.cumsum(tfs)))
-                    out_g.append(docs)
-                    out_t.extend([terms_a[i]] * docs.size)
-                    for d in range(docs.size):
-                        s, e = int(tok_bounds[d]), int(tok_bounds[d + 1])
-                        out_p.append(
-                            [bytes(buf[b0[j] : b0[j + 1]]) for j in range(s, e)]
-                        )
-                if out_g:
-                    yield pd.DataFrame(
-                        {
-                            "gdoc": np.concatenate(out_g),
-                            "term": out_t,
-                            "payloads": out_p,
-                        }
-                    )
+                counts = pdf["doc_count"].to_numpy().astype(np.int64)
+                bounds = np.concatenate(([0], np.cumsum(counts)))
+                D = int(bounds[-1])
+                if D == 0:
+                    continue
+                row_of_doc = np.repeat(np.arange(R), counts)
+                ddeltas = varint_decode(b"".join(pdf["docs_bin"])).astype(np.int64)
+                cs = np.cumsum(ddeltas)
+                starts = bounds[:-1]
+                carry = cs[starts] - ddeltas[starts]
+                seg_codes, seg_uniq = pd.factorize(pdf["segment"].to_numpy())
+                base_of_seg = np.array(
+                    [seg_base.get(s, 0) for s in seg_uniq], dtype=np.int64
+                )
+                docs = cs - carry[row_of_doc] + base_of_seg[seg_codes[row_of_doc]]
+                tfs = varint_decode(b"".join(pdf["tfs_bin"])).astype(np.int64)
+                lens = varint_decode(b"".join(pdf["paylen_bin"])).astype(np.int64)
+                buf = np.frombuffer(b"".join(pdf["pay_bin"]), dtype=np.uint8)
+                b0 = np.concatenate(([0], np.cumsum(lens)))
+                # one C-sliced array per occurrence, then regroup per doc
+                pieces = [p.tobytes() for p in np.split(buf, b0[1:-1])]
+                tok_bounds = np.concatenate(([0], np.cumsum(tfs)))
+                payloads = [
+                    pieces[s:e] for s, e in zip(tok_bounds[:-1], tok_bounds[1:])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "gdoc": docs,
+                        "term": pdf["term"].to_numpy()[row_of_doc],
+                        "payloads": payloads,
+                    }
+                )
 
         from pyspark.sql.types import ArrayType, BinaryType, StringType
 
@@ -1301,7 +1307,7 @@ class SearchEngine:
             ]
         )
         blocks = self.postings.where(F.col("term").isin(*terms)).select(
-            "segment", "term", "docs_bin", "tfs_bin", "paylen_bin", "pay_bin"
+            "segment", "term", "doc_count", "docs_bin", "tfs_bin", "paylen_bin", "pay_bin"
         )
         return self._mask(blocks.mapInPandas(kernel, schema))
 
