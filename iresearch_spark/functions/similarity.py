@@ -291,3 +291,62 @@ def lsh_cosine_topk(
                 probes.add(qb ^ (1 << i) ^ (1 << j))
     cand = bucketed.where(F.col("bucket").isin(*sorted(probes)))
     return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def nearest_labels(
+    df: DataFrame,
+    labels: DataFrame,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    label_vec_col: str = "embedding",
+) -> DataFrame:
+    """Model-free `classification` / `nearest_neighbors` analogue
+    (reference classification_token_stream / nearest_neighbors_stream,
+    core/analysis/classification_stream.cpp — fastText-model-based; no
+    model libs ship in this container, so the LABEL CENTROID TABLE plays
+    the model's output layer): each input embedding receives its top-k
+    nearest labels by cosine.
+
+    Plan shape for scale: the label table is a handful of centroids ->
+    BROADCAST nested-loop join (no shuffle of the big side); cosine is
+    pure Catalyst float64 (`zip_with`/`aggregate`, the same expression
+    tree the DuckDB oracle runs); the per-doc top-k window partitions by
+    the big side's id, so the only shuffle is the M*k result ranking.
+    Returns (id, label, cosine, rank), rank 1 = best, ties by label asc.
+    """
+    from pyspark.sql.window import Window
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    l = labels.select(
+        F.col(label_col).alias("label"), F.col(label_vec_col).alias("_lv")
+    )
+    dot = F.aggregate(
+        F.zip_with(_f64(F.col("_v")), _f64(F.col("_lv")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (_norm(F.col("_v")) * _norm(F.col("_lv")))
+    pairs = e.join(F.broadcast(l)).select("id", "label", cos.alias("cosine"))
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("label"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "label", "cosine", "rank")
+    )
+
+
+def classify_embeddings(
+    df: DataFrame,
+    labels: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    label_vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-1 nearest_labels: (id, label, cosine) — the classification
+    analyzer surface (one label per document)."""
+    return nearest_labels(
+        df, labels, 1, vec_col, id_col, label_col, label_vec_col
+    ).drop("rank")

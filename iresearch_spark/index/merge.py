@@ -412,6 +412,7 @@ def merge_segments(
     new_name: str,
     tombstones: DataFrame | None = None,
     commit: bool = True,
+    force_flat: bool = False,
 ) -> SegmentMeta:
     """K-way merge of member segments into one new segment.
 
@@ -477,8 +478,11 @@ def merge_segments(
     aggs = docmap_aggs(spark, store, seg_names)
     dels_by_seg: dict[str, np.ndarray] = {}
     shift_by_seg: dict[str, int] = {}
-    inline = True
-    if tombstones is not None:
+    # force_flat exists to BENCHMARK the legacy flat pipeline against the
+    # packed path on identical inputs (bench.py merge_10seg_flat); it is
+    # never the production choice
+    inline = not force_flat
+    if inline and tombstones is not None:
         if tombstones.count() <= MERGE_INLINE_DELETES_MAX:
             tmp: dict[str, list[int]] = {}
             for r in tombstones.select("segment", "doc_id").collect():
@@ -591,6 +595,7 @@ def merge_segments(
             F.coalesce(F.sum(F.when(F.col("len") > 0, F.col("len"))), F.lit(0)).alias("s"),
             F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
             F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
+            F.coalesce(F.max(F.when(F.col("len") > 0, F.col("len"))), F.lit(0)).alias("mx"),
         )
         .collect()[0]
     )
@@ -603,6 +608,7 @@ def merge_segments(
         docs_total=int(agg["total"]),  # live ids spanned (incl. zero-token docs)
         min_doc=int(agg["lo"]),
         max_doc=int(agg["hi"]),
+        max_dl=int(agg["mx"]),
     )
     doc_map.unpersist()
     inner = getattr(doc_map, "_ir_cached_input", None)

@@ -72,6 +72,11 @@ class SegmentMeta:
     # spacing, the pre-r4 behavior).
     min_doc: int = 0
     max_doc: int = -1
+    # Largest doc length in the segment (r5): lets the engine auto-select
+    # the reference's 256-entry tiny-norm BM25 cache exactly when norms
+    # fit one byte (bm25.cpp:348-353 picks kNorm2Tiny whenever dl <= 255).
+    # -1 marks a legacy manifest entry (unknown -> auto-select disabled).
+    max_dl: int = -1
 
     @property
     def doc_span(self) -> int:
@@ -108,6 +113,14 @@ class Manifest:
     def avg_dl(self) -> float:
         n = self.docs_count
         return (self.sum_len / n) if n else 0.0
+
+    @property
+    def max_dl(self) -> int:
+        """Largest doc length across segments; -1 when any segment predates
+        the field (auto tiny-norm selection then stays off)."""
+        if not self.segments or any(s.max_dl < 0 for s in self.segments):
+            return -1
+        return max(s.max_dl for s in self.segments)
 
 
 class IndexStore:
@@ -407,6 +420,7 @@ def build_segment(
             F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
             F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
             F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
+            F.coalesce(F.max("len"), F.lit(0)).alias("mx"),
         )
         .collect()[0]
     )
@@ -419,6 +433,7 @@ def build_segment(
         docs_total=int(agg["total"]),
         min_doc=int(agg["lo"]),
         max_doc=int(agg["hi"]),
+        max_dl=int(agg["mx"]),
     )
     docs.unpersist()
 
@@ -476,6 +491,7 @@ def build_segment_from_tokens(
         F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
         F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
         F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
+        F.coalesce(F.max("len"), F.lit(0)).alias("mx"),
     ).collect()[0]
     meta = SegmentMeta(
         name=seg_name,
@@ -486,6 +502,7 @@ def build_segment_from_tokens(
         docs_total=int(agg["total"]),
         min_doc=int(agg["lo"]),
         max_doc=int(agg["hi"]),
+        max_dl=int(agg["mx"]),
     )
     if commit:
         m = store.current()

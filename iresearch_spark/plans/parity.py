@@ -790,3 +790,42 @@ FROM m
 WHERE matched * 1e0 / {total} >= {threshold}e0
 ORDER BY matched DESC, doc_id
 LIMIT {k}"""
+
+
+def classify_labels_sql(d: str, n_labels: int = 8, k: int = 1) -> str:
+    """Oracle for the model-free classification analogue: vectors with
+    vec_id < n_labels act as label centroids; every other vector gets its
+    top-k nearest labels by exact cosine (ties by label asc). Mirrors
+    functions/similarity.nearest_labels float64 arithmetic, 6dp rounding
+    AFTER ranking (both sides rank on the unrounded value)."""
+    if d == SPARK:
+        un = (
+            "SELECT vec_id, pos AS i, CAST(v AS DOUBLE) AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+        )
+    else:
+        un = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+        )
+    return f"""WITH e AS ({un}),
+norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT dv.vec_id AS did, lv.vec_id AS lid, SUM(dv.v * lv.v) AS dot
+  FROM e dv JOIN e lv ON dv.i = lv.i
+  WHERE dv.vec_id >= {n_labels} AND lv.vec_id < {n_labels}
+  GROUP BY dv.vec_id, lv.vec_id
+),
+cosed AS (
+  SELECT did, lid, dots.dot / (nd.nrm * nl.nrm) AS c
+  FROM dots JOIN norms nd ON did = nd.vec_id JOIN norms nl ON lid = nl.vec_id
+),
+ranked AS (
+  SELECT did, lid, c,
+         row_number() OVER (PARTITION BY did ORDER BY c DESC, lid ASC) AS rn
+  FROM cosed
+)
+SELECT did AS vec_id, lid AS label,
+       CAST(floor(c * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS cosine
+FROM ranked WHERE rn <= {k}
+ORDER BY vec_id, label"""

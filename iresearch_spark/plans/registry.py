@@ -526,6 +526,34 @@ def build_registry() -> dict[str, dict]:
             "true AS overlap_floor_met, true AS scores_exact"
         ),
     }
+
+    # model-free classification / nearest_neighbors analogue (r5): vectors
+    # with vec_id < 8 act as label centroids (the fastText output layer's
+    # role — no model libs in this container), every other vector gets its
+    # top-1 label by exact cosine through functions/similarity.
+    # nearest_labels (broadcast centroid join, Catalyst float64).
+    def _classify(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from iresearch_spark.functions.similarity import classify_embeddings
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        labs = emb.where("vec_id < 8").select(
+            F.col("vec_id").alias("label"), "embedding"
+        )
+        return (
+            classify_embeddings(emb.where("vec_id >= 8"), labs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.col("label").cast("long").alias("label"),
+                F.expr(
+                    "CAST(floor(cosine * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE)"
+                ).alias("cosine"),
+            )
+            .orderBy("vec_id", "label")
+        )
+
+    r["classify_labels"] = {"fn": _classify, "duck": P.classify_labels_sql(P.DUCK)}
     # --- driver-window ordering (r4 VERDICT next-1): the driver emits only
     # the first ~50 insertion-ordered entries, so the 8 near-redundant
     # scorer-variant / boolean-permutation rows below (each a parameter
@@ -543,6 +571,7 @@ def build_registry() -> dict[str, dict]:
         "bm15_high_med",  # BM25 b=0 variant of or_high_med
         "bm11_high_med",  # BM25 b=1 variant of or_high_med
         "bm1_high",       # BM25 k=0 variant of term_high
+        "classify_labels",  # r5 addition: pytest-twinned from birth
     )
     ordered = {k: v for k, v in r.items() if k not in tail}
     for k in tail:

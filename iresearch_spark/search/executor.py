@@ -550,7 +550,11 @@ class SearchEngine:
         self.manifest = store.current()
         if not self.manifest.segments:
             raise ValueError(f"index at {store.root} has no committed segments")
-        self.field = FieldStats(self.manifest.docs_count, self.manifest.sum_len)
+        self.field = FieldStats(
+            self.manifest.docs_count,
+            self.manifest.sum_len,
+            max_dl=(m if (m := self.manifest.max_dl) >= 0 else None),
+        )
         self.seg_base = {s.name: s.base_doc for s in self.manifest.segments}
         self.chunk_bits = getattr(self.manifest, "chunk_bits", DEFAULT_CHUNK_BITS)
         self.postings = store.read_union(spark, "postings")

@@ -36,6 +36,11 @@ class FieldStats:
 
     docs_count: int
     sum_len: int
+    # Largest doc length in the index, when the manifest knows it (r5):
+    # drives the reference's automatic kNorm2Tiny selection — bm25.cpp
+    # :348-353 scores through the 256-entry reciprocal cache WHENEVER
+    # norms fit one byte. None/-1 = unknown (legacy manifest).
+    max_dl: int | None = None
 
     @property
     def avg_dl(self) -> float:
@@ -62,6 +67,13 @@ class BM25(Scorer):
     # factored form (bm25.cpp:345-352 cache fill, :404-409 evaluation) —
     # SURVEY.md §2.D's named rank-identity pitfall vs the reference binary
     tiny_norms: bool = False
+    # reference-parity AUTO selection (r5): pick the tiny-norm cache
+    # exactly when the segment's max dl fits one byte, like the reference
+    # does unconditionally (bm25.cpp:348-353). Off by default so the
+    # factored form — the one the DuckDB oracles replicate — stays the
+    # default; golden-tested equal to the opt-in mode on a 1-byte-dl
+    # corpus and equal to the factored form past 255.
+    auto_norms: bool = False
     # opt-in legacy-Norm parity (NormType::kNorm, scorer_impl.hpp:108-115):
     # tf' = float32 sqrt(tf) (bm25.cpp kSQRT), stored norm =
     # f32(1/f32(sqrt(f64(dl)))) (norm.cpp:38), c1 = k(1-b) + (kb/avgdl)*norm
@@ -81,7 +93,12 @@ class BM25(Scorer):
         kb = F32(self.k) * F32(self.b)
         k1b = F32(self.k) * F32(1.0 - self.b)
         inv_avg = F32(kb) / F32(field.avg_dl) if field.avg_dl else F32(0.0)
-        if self.tiny_norms:
+        tiny = self.tiny_norms or (
+            self.auto_norms
+            and field.max_dl is not None
+            and 0 <= field.max_dl <= 255
+        )
+        if tiny:
             return BM25TinyNormTermScorer(
                 c0=float(c0), c1_base=float(k1b), c1_slope=float(inv_avg)
             )
@@ -376,6 +393,7 @@ _SCORERS = {
     "bm1": lambda **kw: BM25(k=0.0, **{k: v for k, v in kw.items() if k != "k"}),
     "tfidf": lambda **kw: TFIDF(**kw),
     "bm25_tiny": lambda **kw: BM25(tiny_norms=True, **kw),
+    "bm25_auto": lambda **kw: BM25(auto_norms=True, **kw),
     "bm25_legacy": lambda **kw: BM25(legacy_norms=True, **kw),
     "bm25_precise": lambda **kw: PreciseBM25(**kw),
     "tfidf_precise": lambda **kw: PreciseTFIDF(**kw),

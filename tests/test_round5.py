@@ -90,6 +90,123 @@ def test_fuzzy_damerau_distributed_path_equals_vocab_path(dam_engine):
     assert len(via_vocab) > 0
 
 
+def test_classify_labels_duck_parity(spark):
+    """Model-free classification analogue (§2.A classification /
+    nearest_neighbors — the last unimplemented SURVEY row): registry
+    `classify_labels` vs its all-pairs DuckDB oracle, plus the top-k=2
+    nearest_labels contract (rank column, tie ordering)."""
+    import duckdb as _dd
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.plans.registry import REGISTRY
+    from iresearch_spark.functions.similarity import nearest_labels
+
+    sf = _os.environ.get("SPARK_GRAFT_PARITY_DIR", "/root/testdata/sf0.01")
+    ent = REGISTRY["classify_labels"]
+    got = sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in ent["fn"](spark, sf).collect()
+    )
+    con = _dd.connect()
+    try:
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+        exp = sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+            for r in con.execute(ent["duck"]).fetchall()
+        )
+    finally:
+        con.close()
+    assert len(got) > 0
+    assert got == exp
+    # top-2 contract: 2 rows per doc, rank 1 cosine >= rank 2 cosine
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    labs = emb.where("vec_id < 8").select(F.col("vec_id").alias("label"), "embedding")
+    top2 = nearest_labels(emb.where("vec_id >= 8"), labs, k=2).collect()
+    by_id: dict = {}
+    for r in top2:
+        by_id.setdefault(r["id"], []).append(r)
+    for rows in by_id.values():
+        assert len(rows) == 2
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["cosine"] >= rows[1]["cosine"]
+
+
+def test_merge_force_flat_equals_packed(spark, tmp_path_factory):
+    """force_flat (the legacy flat pipeline, kept as a benchmark twin for
+    merge_10seg_flat) produces byte-for-byte the same logical postings as
+    the join-free packed path on identical inputs."""
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.index.merge import merge_segments, unpack_postings
+
+    corpus = generate_corpus(spark, 120, seed=17)
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    st = IndexStore(str(tmp_path_factory.mktemp("ff")))
+    build_segment(spark, st, corpus.where(h == 0), "a")
+    build_segment(spark, st, corpus.where(h == 1), "b")
+
+    def flat(seg):
+        blocks = st.read_union(spark, "postings", [seg])
+        return {
+            (r["term"], r["doc_id"]): (r["tf"], tuple(r["positions"]))
+            for r in unpack_postings(blocks, with_positions=True).collect()
+        }
+
+    merge_segments(spark, st, ["a", "b"], "packed", commit=False)
+    merge_segments(spark, st, ["a", "b"], "flatm", commit=False, force_flat=True)
+    got_p, got_f = flat("packed"), flat("flatm")
+    assert len(got_p) > 0
+    assert got_p == got_f
+
+
+def test_bm25_auto_tiny_norm_selection(dam_engine):
+    """Auto-mode parity (r4 VERDICT next-6): the reference picks the
+    256-entry reciprocal cache WHENEVER norms fit one byte
+    (bm25.cpp:348-353); `BM25(auto_norms=True)` must equal the opt-in
+    tiny mode when max_dl <= 255 and the factored form past 255 /
+    unknown — pinned at prepare() level and end-to-end on the engine."""
+    import numpy as np
+
+    from iresearch_spark.search.scorers import (
+        BM25,
+        BM25TermScorer,
+        BM25TinyNormTermScorer,
+        FieldStats,
+    )
+
+    tfs = np.array([1, 3, 7, 20], dtype=np.int64)
+    dls = np.array([10, 100, 200, 255], dtype=np.int64)
+    fs_tiny = FieldStats(100, 5000, max_dl=200)
+    auto = BM25(auto_norms=True).prepare(fs_tiny, 10)
+    optin = BM25(tiny_norms=True).prepare(fs_tiny, 10)
+    assert isinstance(auto, BM25TinyNormTermScorer)
+    assert np.array_equal(auto.scores(tfs, dls), optin.scores(tfs, dls))
+    for fs in (FieldStats(100, 500000, max_dl=1000), FieldStats(100, 5000)):
+        wide = BM25(auto_norms=True).prepare(fs, 10)
+        assert isinstance(wide, BM25TermScorer)
+        plain = BM25().prepare(fs, 10)
+        assert np.array_equal(wide.scores(tfs, dls), plain.scores(tfs, dls))
+    # end-to-end: the r5 manifest records max_dl; auto == whichever mode
+    # that value selects, bit-for-bit on the same store
+    from iresearch_spark.search import SearchEngine, Term
+
+    eng_auto = SearchEngine(
+        dam_engine.spark, dam_engine.store, scorer=BM25(auto_norms=True)
+    )
+    mdl = eng_auto.manifest.max_dl
+    assert mdl >= 0, "r5 build must record max_dl in the manifest"
+    twin = SearchEngine(
+        dam_engine.spark,
+        dam_engine.store,
+        scorer=BM25(tiny_norms=True) if mdl <= 255 else BM25(),
+    )
+    got = [(r["gdoc"], r["score"]) for r in eng_auto.topk(Term("const"), 10).collect()]
+    exp = [(r["gdoc"], r["score"]) for r in twin.topk(Term("const"), 10).collect()]
+    assert got == exp and len(got) > 0
+
+
 def test_fuzzy_damerau_topk_end_to_end(dam_engine):
     """Engine top-k through the Damerau leaf still matches the scalar
     expansion contract after the batched rewrite."""
