@@ -90,6 +90,59 @@ def test_fuzzy_damerau_distributed_path_equals_vocab_path(dam_engine):
     assert len(via_vocab) > 0
 
 
+def test_offsets_payloads_multiblock_multisegment(spark, tmp_path_factory):
+    """Stress the r5 batch-decode kernels where the per-row loop they
+    replaced could not go wrong: posting lists spanning MULTIPLE 128-doc
+    blocks (delta/start-delta cumsum must reset at block and doc
+    boundaries inside one concatenated decode) and TWO segments (seg_base
+    remap via factorize). Expectations recomputed independently."""
+    from iresearch_spark.search import SearchEngine
+
+    n_per_seg = 150  # 2 blocks per segment for the common term
+    def text(i):
+        return ("zz " * (i % 7)) + "spark like spark"
+
+    def rows(seg, n):
+        return [
+            ("r", f"{seg}_{i:04d}.py", "c0", "py", text(i)) for i in range(n)
+        ]
+
+    st = IndexStore(str(tmp_path_factory.mktemp("mb")))
+    for seg in ("a", "b"):
+        df = spark.createDataFrame(
+            rows(seg, n_per_seg),
+            "repo string, path string, commit string, lang string, content string",
+        )
+        build_segment(
+            spark, st, df, seg, with_offsets=True,
+            payload_fn=lambda toks, starts, lens: [
+                f"{t}@{s}".encode() for t, s in zip(toks.tolist(), starts.tolist())
+            ],
+        )
+    eng = SearchEngine(spark, st)
+    base = {"a": 0, "b": n_per_seg}
+
+    def expected(i):
+        k = 3 * (i % 7)
+        return [k, k + 11]  # the two 'spark' char starts in text(i)
+
+    offs = {
+        r["gdoc"]: (list(r["starts"]), list(r["lens"]))
+        for r in eng.offsets(["spark"]).collect()
+    }
+    pays = {
+        r["gdoc"]: [bytes(b) for b in r["payloads"]]
+        for r in eng.payloads(["spark"]).collect()
+    }
+    assert len(offs) == len(pays) == 2 * n_per_seg
+    for seg in ("a", "b"):
+        for i in range(n_per_seg):
+            g = base[seg] + i + 1  # doc ids are 1-based rank by path
+            exp = expected(i)
+            assert offs[g] == (exp, [5, 5]), (seg, i, offs[g])
+            assert pays[g] == [f"spark@{s}".encode() for s in exp], (seg, i)
+
+
 def test_classify_labels_duck_parity(spark):
     """Model-free classification analogue (§2.A classification /
     nearest_neighbors — the last unimplemented SURVEY row): registry
