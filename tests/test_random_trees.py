@@ -1,0 +1,154 @@
+"""Randomized boolean-tree property test (r5): seeded random And/Or/Not
+trees over real vocabulary terms, evaluated by the engine in PRECISE
+(float64 + 6dp rounding) mode and by an independent dict-based oracle that
+mirrors the documented scoring semantics (boost propagation
+boost*node.boost into leaves, kSum/kMax/kMin merges, min_match counting,
+exclusion legs contribute no score, lone Not = universe at constant
+boost). Exercises both the flat WAND kernel shapes (_query_spec) and the
+general nested evaluator (_eval) with one oracle.
+
+Deterministic: seeds are fixed, so any pass is a permanent pin."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from iresearch_spark.analysis.analyzers import DEFAULT_STOPWORDS
+from iresearch_spark.corpus import generate_corpus
+from iresearch_spark.index.segments import IndexStore, build_segment
+from iresearch_spark.search import And, Not, Or, SearchEngine, Term
+from iresearch_spark.search.query import Node, normalize
+from iresearch_spark.search.scorers import PreciseBM25
+from tests import oracle
+
+STOPS = frozenset(DEFAULT_STOPWORDS)
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def rt(spark, tmp_path_factory):
+    corpus = generate_corpus(spark, 250, seed=29).persist()
+    rows = corpus.select("repo", "path", "commit", "content").collect()
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    docs = [(i + 1, r["content"]) for i, r in enumerate(rows)]
+    idx = oracle.build_index(docs, STOPS)
+    st = IndexStore(str(tmp_path_factory.mktemp("rt_ix")))
+    build_segment(spark, st, corpus, "seg0")
+    corpus.unpersist()
+    eng = SearchEngine(spark, st, scorer=PreciseBM25())
+    return eng, idx
+
+
+def _score_term(idx, term: str, boost: float) -> dict[int, float]:
+    n = idx.doc_freq(term)
+    if n == 0:
+        return {}
+    idf = math.log1p((idx.n_docs - n + 0.5) / (n + 0.5))
+    out = {}
+    for doc, tf, _pos in idx.postings[term]:
+        dl = idx.doclen[doc]
+        out[doc] = (boost * idf) * ((K1 + 1.0) * tf) / (
+            K1 * ((1.0 - B) + (B * dl) / idx.avg_dl) + tf
+        )
+    return out
+
+
+def _universe(idx) -> set[int]:
+    return set(idx.doclen)
+
+
+def _oracle_eval(idx, node: Node, boost: float = 1.0) -> dict[int, float]:
+    """Mirrors SearchEngine._eval's scoring semantics on plain dicts."""
+    from iresearch_spark.search.query import All, Empty
+
+    if isinstance(node, Empty):
+        return {}
+    if isinstance(node, All):
+        return {d: boost * node.boost for d in _universe(idx)}
+    if isinstance(node, Term):
+        return _score_term(idx, node.term, boost * node.boost)
+    if isinstance(node, Not):
+        child = _oracle_eval(idx, node.child, boost)
+        b = boost * node.boost
+        return {d: b for d in _universe(idx) - set(child)}
+    if isinstance(node, And) and any(isinstance(c, Not) for c in node.children):
+        poss = tuple(c for c in node.children if not isinstance(c, Not))
+        negs = [c for c in node.children if isinstance(c, Not)]
+        if poss:
+            out = dict(
+                _oracle_eval(
+                    idx, And(poss, boost=node.boost, merge=node.merge), boost
+                )
+            )
+        else:
+            out = {d: boost * node.boost for d in _universe(idx)}
+        for neg in negs:
+            for d in set(_oracle_eval(idx, neg.child, 1.0)):
+                out.pop(d, None)
+        return out
+    if isinstance(node, (And, Or)):
+        legs = [_oracle_eval(idx, c, boost * node.boost) for c in node.children]
+        merged: dict[int, list[float]] = {}
+        for leg in legs:
+            for d, s in leg.items():
+                merged.setdefault(d, []).append(s)
+        need = len(node.children) if isinstance(node, And) else node.min_match
+        mfn = {"sum": sum, "max": max, "min": min}[node.merge]
+        return {d: mfn(ss) for d, ss in merged.items() if len(ss) >= need}
+    raise TypeError(node)
+
+
+def _oracle_topk(idx, node: Node, k: int) -> list[tuple[int, float]]:
+    scores = _oracle_eval(idx, normalize(node))
+    rows = [
+        (d, math.floor(s * 1e6 + 0.5) / 1e6) for d, s in scores.items()
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows[:k]
+
+
+def _random_tree(rng: random.Random, vocab: list[str], depth: int) -> Node:
+    if depth == 0 or rng.random() < 0.35:
+        return Term(rng.choice(vocab), boost=rng.choice((1.0, 0.5, 2.0)))
+    kind = rng.random()
+    n_kids = rng.randint(2, 4)
+    kids = tuple(_random_tree(rng, vocab, depth - 1) for _ in range(n_kids))
+    if kind < 0.45:
+        return Or(
+            kids,
+            min_match=rng.randint(1, n_kids),
+            merge=rng.choice(("sum", "max", "min")),
+            boost=rng.choice((1.0, 2.0)),
+        )
+    if kind < 0.85:
+        # at most one Not leg, and keep at least one positive leg
+        if rng.random() < 0.4:
+            kids = kids[:-1] + (Not(child=kids[-1]),)
+        return And(kids, boost=rng.choice((1.0, 0.5)))
+    return Not(child=kids[0], boost=1.0)
+
+
+def test_random_boolean_trees_match_oracle(rt):
+    eng, idx = rt
+    # vocabulary mix: common terms, rare terms, and one absent term
+    by_df = sorted(idx.postings, key=lambda t: -idx.doc_freq(t))
+    vocab = by_df[:5] + by_df[len(by_df) // 2 : len(by_df) // 2 + 5] + [
+        "zzz_absent_term"
+    ]
+    rng = random.Random(4242)
+    checked = 0
+    for _ in range(30):
+        tree = _random_tree(rng, vocab, depth=3)
+        exp = _oracle_topk(idx, tree, 15)
+        got = [
+            (r["gdoc"], r["score"])
+            for r in eng.topk(tree, 15).collect()
+        ]
+        got = [(d, math.floor(s * 1e6 + 0.5) / 1e6) for d, s in got]
+        assert got == exp, f"tree={tree}"
+        if exp:
+            checked += 1
+    assert checked >= 15  # the generator must produce mostly non-empty queries
