@@ -48,14 +48,18 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * (after[1] - before[1]) / dt, 3) if dt > 0 else 0.0
 
 
-def _min_of(n: int, fn) -> float:
+def _min_of(n: int, fn, samples: list | None = None) -> float:
     """min-of-n wall time — phase-2 single-shot timings swung with steal
-    between rounds (r4 VERDICT next-3); phase 4 already ran min-of-5."""
+    between rounds (r4 VERDICT next-3); phase 4 already ran min-of-5.
+    Raw samples optionally accumulate into `samples` for the p95 row."""
     best = float("inf")
     for _ in range(n):
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        if samples is not None:
+            samples.append(dt)
+        best = min(best, dt)
     return best
 
 
@@ -164,10 +168,18 @@ def main() -> None:
     # first-query tax that previously landed on whichever case ran first)
     eng.topk(Term(med), 10).collect()
     cpu_q = _cpu_times()
+    q_samples: list[float] = []
     for name, node in cases.items():
         queries[name] = round(
-            _min_of(3, lambda n=node: eng.topk(n, 10).collect()), 3
+            _min_of(3, lambda n=node: eng.topk(n, 10).collect(), q_samples), 3
         )
+    # the north metric names query p95: p95 over ALL raw phase-2 samples
+    # (every category x 3 runs), steal included — the pessimistic view the
+    # min-of-3 rows deliberately exclude
+    q_samples.sort()
+    queries["query_p95"] = round(
+        q_samples[min(len(q_samples) - 1, int(0.95 * len(q_samples)))], 3
+    )
     # WAND pruning gain: same queries with block-max skipping disabled
     for name, node in (("HighTerm", Term(high)), ("OrHighMed", Or((Term(high), Term(med))))):
         queries[f"{name}_nowand"] = round(

@@ -19,7 +19,7 @@ import pytest
 from iresearch_spark.analysis.analyzers import DEFAULT_STOPWORDS
 from iresearch_spark.corpus import generate_corpus
 from iresearch_spark.index.segments import IndexStore, build_segment
-from iresearch_spark.search import And, Not, Or, SearchEngine, Term
+from iresearch_spark.search import And, Not, Or, Phrase, Prefix, SearchEngine, Term
 from iresearch_spark.search.query import Node, normalize
 from iresearch_spark.search.scorers import PreciseBM25
 from tests import oracle
@@ -60,6 +60,33 @@ def _universe(idx) -> set[int]:
     return set(idx.doclen)
 
 
+def _score_phrase(idx, terms: list[str], boost: float) -> dict[int, float]:
+    """Float64 fixed-phrase BM25: phrase frequency per doc, idf = sum of
+    member idfs (the engine's precise-mode phrase semantics)."""
+    if any(t not in idx.postings for t in terms):
+        return {}
+    idf = sum(
+        math.log1p((idx.n_docs - idx.doc_freq(t) + 0.5) / (idx.doc_freq(t) + 0.5))
+        for t in terms
+    )
+    pos_by_doc = [{d: set(ps) for d, _, ps in idx.postings[t]} for t in terms]
+    out: dict[int, float] = {}
+    for doc in pos_by_doc[0]:
+        if not all(doc in m for m in pos_by_doc[1:]):
+            continue
+        ptf = sum(
+            1
+            for p in pos_by_doc[0][doc]
+            if all(p + off in pos_by_doc[off][doc] for off in range(1, len(terms)))
+        )
+        if ptf:
+            dl = idx.doclen[doc]
+            out[doc] = (boost * idf) * ((K1 + 1.0) * ptf) / (
+                K1 * ((1.0 - B) + (B * dl) / idx.avg_dl) + ptf
+            )
+    return out
+
+
 def _oracle_eval(idx, node: Node, boost: float = 1.0) -> dict[int, float]:
     """Mirrors SearchEngine._eval's scoring semantics on plain dicts."""
     from iresearch_spark.search.query import All, Empty
@@ -70,6 +97,18 @@ def _oracle_eval(idx, node: Node, boost: float = 1.0) -> dict[int, float]:
         return {d: boost * node.boost for d in _universe(idx)}
     if isinstance(node, Term):
         return _score_term(idx, node.term, boost * node.boost)
+    if isinstance(node, Prefix):
+        # multiterm leaf: every matching dictionary term scored, kSum per
+        # doc (flat disjunction; scored_terms_limit kept above expansion
+        # size in this test, so no zero-score tail)
+        out: dict[int, float] = {}
+        for t in idx.postings:
+            if t.startswith(node.prefix):
+                for d, s in _score_term(idx, t, boost * node.boost).items():
+                    out[d] = out.get(d, 0.0) + s
+        return out
+    if isinstance(node, Phrase):
+        return _score_phrase(idx, list(node.terms), boost * node.boost)
     if isinstance(node, Not):
         child = _oracle_eval(idx, node.child, boost)
         b = boost * node.boost
@@ -110,12 +149,30 @@ def _oracle_topk(idx, node: Node, k: int) -> list[tuple[int, float]]:
     return rows[:k]
 
 
-def _random_tree(rng: random.Random, vocab: list[str], depth: int) -> Node:
+def _random_tree(
+    rng: random.Random,
+    vocab: list[str],
+    depth: int,
+    bigrams: list[tuple[str, str]] = (),
+    prefixes: list[str] = (),
+) -> Node:
     if depth == 0 or rng.random() < 0.35:
+        r = rng.random()
+        if bigrams and r < 0.15:
+            return Phrase(tuple(rng.choice(bigrams)), boost=rng.choice((1.0, 2.0)))
+        if prefixes and r < 0.3:
+            return Prefix(
+                rng.choice(prefixes),
+                scored_terms_limit=100_000,  # above expansion size: no tail
+                boost=rng.choice((1.0, 0.5)),
+            )
         return Term(rng.choice(vocab), boost=rng.choice((1.0, 0.5, 2.0)))
     kind = rng.random()
     n_kids = rng.randint(2, 4)
-    kids = tuple(_random_tree(rng, vocab, depth - 1) for _ in range(n_kids))
+    kids = tuple(
+        _random_tree(rng, vocab, depth - 1, bigrams, prefixes)
+        for _ in range(n_kids)
+    )
     if kind < 0.45:
         return Or(
             kids,
@@ -138,10 +195,26 @@ def test_random_boolean_trees_match_oracle(rt):
     vocab = by_df[:5] + by_df[len(by_df) // 2 : len(by_df) // 2 + 5] + [
         "zzz_absent_term"
     ]
+    # adjacent bigrams among the 30 most common terms (real phrase hits)
+    top30 = set(by_df[:30])
+    pos_map: dict[tuple[int, int], str] = {}
+    for t in top30:
+        for d, _tf, ps in idx.postings[t]:
+            for pp in ps:
+                pos_map[(d, pp)] = t
+    bigrams = sorted(
+        {
+            (t, pos_map[(d, pp + 1)])
+            for (d, pp), t in pos_map.items()
+            if (d, pp + 1) in pos_map
+        }
+    )[:15]
+    prefixes = sorted({t[:2] for t in by_df[:10]})[:6]
+    assert bigrams and prefixes
     rng = random.Random(4242)
     checked = 0
     for _ in range(30):
-        tree = _random_tree(rng, vocab, depth=3)
+        tree = _random_tree(rng, vocab, depth=3, bigrams=bigrams, prefixes=prefixes)
         exp = _oracle_topk(idx, tree, 15)
         got = [
             (r["gdoc"], r["score"])
@@ -152,3 +225,25 @@ def test_random_boolean_trees_match_oracle(rt):
         if exp:
             checked += 1
     assert checked >= 15  # the generator must produce mostly non-empty queries
+
+
+def _leaf_kinds(node: Node) -> set[type]:
+    if isinstance(node, (And, Or)):
+        return set().union(*(_leaf_kinds(c) for c in node.children))
+    if isinstance(node, Not):
+        return _leaf_kinds(node.child)
+    return {type(node)}
+
+
+def test_random_tree_generator_covers_leaf_kinds():
+    """The seed actually exercises every leaf kind (otherwise the main
+    property test silently narrows to Term-only trees)."""
+    rng = random.Random(4242)
+    kinds: set[type] = set()
+    for _ in range(30):
+        kinds |= _leaf_kinds(
+            _random_tree(
+                rng, ["a", "b"], depth=3, bigrams=[("x", "y")], prefixes=["p"]
+            )
+        )
+    assert {Term, Phrase, Prefix} <= kinds
