@@ -623,3 +623,49 @@ def verify_sha_invariant(
         F.col("_expected_sha").isNull()
         | (F.col("_expected_sha") != F.col("content_sha256"))
     ).count()
+
+
+def build_sliced(
+    spark: SparkSession,
+    store: IndexStore,
+    docs: DataFrame,
+    n_slices: int,
+    prefix: str = "slice",
+    key_cols: list[str] | None = None,
+    text_col: str = "content",
+    **build_kw,
+) -> list[SegmentMeta]:
+    """Resumable sliced corpus build — the 100-TB operational shape: the
+    input is hash-partitioned into `n_slices` DETERMINISTIC slices on the
+    canonical key, each built and committed as its own segment. Because
+    every commit is an atomic manifest generation (the Iceberg-snapshot
+    analogue) and slice membership is a pure function of the key, a crashed
+    or pre-empted job is resumed by RE-INVOKING with the same arguments:
+    slices whose segment is already committed are skipped (their lineage
+    rows + sha invariant remain verifiable via verify_lineage /
+    verify_sha_invariant), the in-flight slice is rebuilt idempotently, and
+    the remainder proceeds. Reference analogue: index_writer commits are
+    the recovery points; segments are never partially visible
+    (core/index/index_writer.cpp:2356-2420 two-phase commit).
+
+    Returns the metas of the segments built or found committed, slice
+    order. For cluster runs size slices so one slice's shuffle fits the
+    cluster comfortably (e.g. 0.5-2 TB of input per slice at 10^12-file
+    scale)."""
+    key_cols = key_cols or ["repo", "path", "commit"]
+    committed = {s.name for s in store.current().segments}
+    slice_col = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_slices))
+    metas: list[SegmentMeta] = []
+    for i in range(n_slices):
+        name = f"{prefix}{i:05d}"
+        if name in committed:
+            metas.append(next(s for s in store.current().segments if s.name == name))
+            continue
+        part = docs.where(slice_col == i)
+        metas.append(
+            build_segment(
+                spark, store, part, name,
+                text_col=text_col, key_cols=key_cols, **build_kw,
+            )
+        )
+    return metas

@@ -40,6 +40,10 @@ def main() -> int:
     ap.add_argument("--key-cols", default="repo,path,commit")
     ap.add_argument("--doc-id-col", default=None, help="use a pre-assigned id column")
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--slices", type=int, default=0,
+                    help="resumable sliced build: hash-partition the corpus "
+                         "into K deterministic slices, one committed segment "
+                         "each; re-invoking skips committed slices")
     ap.add_argument("--consolidate", action="store_true", help="run one tiered consolidation round after the build")
     ap.add_argument("--verify", action="store_true", help="verify lineage + sha invariant after commit")
     args = ap.parse_args()
@@ -68,29 +72,59 @@ def main() -> int:
         docs = spark.read.parquet(args.input)
 
     store = IndexStore(args.index)
-    seg = args.segment or f"build_{int(time.time())}"
     t0 = time.time()
-    meta = build_segment(
-        spark,
-        store,
-        docs,
-        seg,
-        text_col=args.text_col,
-        key_cols=args.key_cols.split(","),
-        doc_id_col=args.doc_id_col,
-        with_positions=not args.no_positions,
-    )
-    build_sec = time.time() - t0
+    if args.slices:
+        from iresearch_spark.index.segments import build_sliced
 
-    out = {
-        "segment": meta.name,
-        "docs": meta.docs_count,
-        "sum_len": meta.sum_len,
-        "bytes": meta.bytes,
-        "build_sec": round(build_sec, 2),
-        "docs_per_sec": round(meta.docs_count / build_sec, 1),
-        "gen": store.current().gen,
-    }
+        metas = build_sliced(
+            spark, store, docs, args.slices,
+            prefix=(args.segment or "slice"),
+            key_cols=args.key_cols.split(","),
+            text_col=args.text_col,
+            with_positions=not args.no_positions,
+        )
+        build_sec = time.time() - t0
+        n = sum(m.docs_count for m in metas)
+        out = {
+            "segments": [m.name for m in metas],
+            "docs": n,
+            "build_sec": round(build_sec, 2),
+            "docs_per_sec": round(n / build_sec, 1),
+            "gen": store.current().gen,
+        }
+        # verify target: last slice, against ITS slice subset (lineage
+        # recompute must see exactly the segment's input rows)
+        seg = metas[-1].name
+        from pyspark.sql import functions as F
+
+        kc = args.key_cols.split(",")
+        docs = docs.where(
+            F.pmod(F.xxhash64(*[F.col(c) for c in kc]), F.lit(args.slices))
+            == args.slices - 1
+        )
+    else:
+        seg = args.segment or f"build_{int(time.time())}"
+        meta = build_segment(
+            spark,
+            store,
+            docs,
+            seg,
+            text_col=args.text_col,
+            key_cols=args.key_cols.split(","),
+            doc_id_col=args.doc_id_col,
+            with_positions=not args.no_positions,
+        )
+        build_sec = time.time() - t0
+
+        out = {
+            "segment": meta.name,
+            "docs": meta.docs_count,
+            "sum_len": meta.sum_len,
+            "bytes": meta.bytes,
+            "build_sec": round(build_sec, 2),
+            "docs_per_sec": round(meta.docs_count / build_sec, 1),
+            "gen": store.current().gen,
+        }
     if args.verify:
         out["lineage_ok"] = verify_lineage(spark, store, seg, docs, args.key_cols.split(","), args.text_col)
         try:

@@ -90,6 +90,76 @@ def test_fuzzy_damerau_distributed_path_equals_vocab_path(dam_engine):
     assert len(via_vocab) > 0
 
 
+def test_build_sliced_resume_and_equivalence(spark, tmp_path_factory, monkeypatch):
+    """Resumable sliced build (the 100-TB operational shape): a build that
+    crashes after 2 of 4 slice commits resumes by re-invocation — the 2
+    committed slices are SKIPPED (commit = checkpoint), the rest build —
+    and the finished sliced store scores every document identically to a
+    single-segment build of the same corpus (global stats come from the
+    manifest, so BM25 is partition-invariant)."""
+    import iresearch_spark.index.segments as segmod
+    from iresearch_spark.search import SearchEngine, Term
+
+    corpus = generate_corpus(spark, 240, seed=31).persist()
+    st = IndexStore(str(tmp_path_factory.mktemp("sliced")))
+
+    real_build = segmod.build_segment
+    calls = {"n": 0}
+
+    def crashing(*a, **kw):
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated pre-emption")
+        calls["n"] += 1
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(segmod, "build_segment", crashing)
+    with pytest.raises(RuntimeError, match="pre-emption"):
+        segmod.build_sliced(spark, st, corpus, 4, prefix="sl")
+    assert {s.name for s in st.current().segments} == {"sl00000", "sl00001"}
+
+    monkeypatch.setattr(segmod, "build_segment", real_build)
+    built = {"names": []}
+
+    def counting(spark_, store_, docs_, name, **kw):
+        built["names"].append(name)
+        return real_build(spark_, store_, docs_, name, **kw)
+
+    monkeypatch.setattr(segmod, "build_segment", counting)
+    metas = segmod.build_sliced(spark, st, corpus, 4, prefix="sl")
+    assert built["names"] == ["sl00002", "sl00003"]  # committed slices skipped
+    assert [m.name for m in metas] == [f"sl{i:05d}" for i in range(4)]
+
+    # equivalence to a single-segment build, by document identity
+    ref = IndexStore(str(tmp_path_factory.mktemp("ref")))
+    real_build(spark, ref, corpus, "all")
+    corpus.unpersist()
+
+    def keyed_scores(store):
+        from pyspark.sql import functions as F
+
+        eng = SearchEngine(spark, store)
+        hits = eng.topk(Term("const"), 1000)
+        # map gdoc back to document identity via manifest base offsets
+        parts = []
+        for s in store.current().segments:
+            parts.append(
+                store.read(spark, s.name, "docmap").select(
+                    (F.col("doc_id") + F.lit(s.base_doc)).alias("gdoc"),
+                    "repo", "path", "commit",
+                )
+            )
+        dm_all = parts[0]
+        for p in parts[1:]:
+            dm_all = dm_all.unionByName(p)
+        return sorted(
+            (r["repo"], r["path"], r["commit"], round(r["score"], 4))
+            for r in hits.join(dm_all, "gdoc").collect()
+        )
+
+    assert keyed_scores(st) == keyed_scores(ref)
+    assert len(keyed_scores(ref)) > 0
+
+
 def test_offsets_payloads_multiblock_multisegment(spark, tmp_path_factory):
     """Stress the r5 batch-decode kernels where the per-row loop they
     replaced could not go wrong: posting lists spanning MULTIPLE 128-doc
