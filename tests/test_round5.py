@@ -330,6 +330,21 @@ def test_bm25_auto_tiny_norm_selection(dam_engine):
     assert got == exp and len(got) > 0
 
 
+def test_pin_postings_identical_results(dam_engine):
+    """pin_postings (hot-index posture) changes only the physical scan
+    (cached columnar batches instead of parquet), never results."""
+    from iresearch_spark.search import Or, SearchEngine, Term
+
+    cold = SearchEngine(dam_engine.spark, dam_engine.store)
+    node = Or((Term("const"), Term("sort")))
+    before = [(r["gdoc"], r["score"]) for r in cold.topk(node, 20).collect()]
+    pinned = SearchEngine(dam_engine.spark, dam_engine.store).pin_postings()
+    after = [(r["gdoc"], r["score"]) for r in pinned.topk(node, 20).collect()]
+    assert before == after and len(before) > 0
+    assert pinned.postings.storageLevel.useMemory
+    pinned.postings.unpersist()
+
+
 def test_fuzzy_damerau_topk_end_to_end(dam_engine):
     """Engine top-k through the Damerau leaf still matches the scalar
     expansion contract after the batched rewrite."""
