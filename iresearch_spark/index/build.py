@@ -591,6 +591,13 @@ def _make_doc_packer(
     import re as _re
 
     rx = _re.compile(spec["delim"])
+    # Negated-char-class delimiters ("[^a-z0-9_]+") have an exact token
+    # complement ("[a-z0-9_]+"): findall(token_rx) returns the identical
+    # token sequence ~30% faster than split(delim)+filter (r5; measured
+    # 1.22s -> 0.83s per 20k docs / 2.8M tokens). Anything else keeps the
+    # general split path.
+    _neg = _re.fullmatch(r"\[\^((?:[^\]\\]|\\.)+)\]\+", spec["delim"])
+    tokrx = _re.compile(f"[{_neg.group(1)}]+") if _neg else None
     stop = spec["stop"]
     lower = spec["lower"]
     use_stem = spec["stem"]
@@ -646,6 +653,10 @@ def _make_doc_packer(
                         span_st.append(prev)
                         span_ln.append(len(x) - prev)
                     tok_lists.append(toks)
+            elif tokrx is not None:
+                tok_lists = [
+                    tokrx.findall(x) if isinstance(x, str) else [] for x in texts
+                ]
             else:
                 tok_lists = [
                     [t for t in rx.split(x) if t] if isinstance(x, str) else []
