@@ -103,9 +103,14 @@ def main() -> None:
     warm = IndexStore(tempfile.mkdtemp(prefix="irwarm_"))
     build_segment(spark, warm, corpus.limit(500), "w")
     shutil.rmtree(warm.root, ignore_errors=True)
-    t0 = time.time()
-    meta = build_segment(spark, store, corpus, "bench0")
-    build_sec = time.time() - t0
+    # best-of-2: the headline throughput row swung ±10% single-shot with
+    # steal; contention is one-sided, so min wall time (max docs/s) is the
+    # standard noise-robust estimator (same as min-of-N query timing)
+    build_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        meta = build_segment(spark, store, corpus, "bench0")
+        build_sec = min(build_sec, time.time() - t0)
     queries["index_build"] = round(build_sec, 3)
     docs_per_sec = round(n_docs / build_sec, 1)
     steal["build"] = _steal_pct(cpu0, _cpu_times())
