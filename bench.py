@@ -186,6 +186,16 @@ def main() -> None:
     queries["query_p95"] = round(
         q_samples[min(len(q_samples) - 1, int(0.95 * len(q_samples)))], 3
     )
+    # serving posture: concurrent submission from 4 driver threads (Spark
+    # schedules the jobs in parallel) — throughput the latency rows can't
+    # show, since single-stream wall time is ~fixed scheduling overhead
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [node for node in cases.values() for _ in range(2)]
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(lambda nd: eng.topk(nd, 10).collect(), jobs))
+    queries["query_qps_4way"] = round(len(jobs) / (time.time() - t0), 2)
     # WAND pruning gain: same queries with block-max skipping disabled
     for name, node in (("HighTerm", Term(high)), ("OrHighMed", Or((Term(high), Term(med))))):
         queries[f"{name}_nowand"] = round(
