@@ -106,12 +106,14 @@ def main() -> None:
     # best-of-2: the headline throughput row swung ±10% single-shot with
     # steal; contention is one-sided, so min wall time (max docs/s) is the
     # standard noise-robust estimator (same as min-of-N query timing)
-    build_sec = float("inf")
+    build_secs = []
     for _ in range(2):
         t0 = time.time()
         meta = build_segment(spark, store, corpus, "bench0")
-        build_sec = min(build_sec, time.time() - t0)
+        build_secs.append(time.time() - t0)
+    build_sec = min(build_secs)
     queries["index_build"] = round(build_sec, 3)
+    queries["index_build_cold"] = round(build_secs[0], 3)
     docs_per_sec = round(n_docs / build_sec, 1)
     steal["build"] = _steal_pct(cpu0, _cpu_times())
 
@@ -263,11 +265,13 @@ def main() -> None:
         # runs up to 4x slower than an identical immediate re-run
         # (measured 41.3 s vs 10.2 s at 300k docs — allocator/page-cache
         # state, not plan); one repeat strips that from the headline
-        big_build = float("inf")
+        big_builds = []
         for _ in range(2):
             t0 = time.time()
             build_segment(spark, bstore, bcorpus, "big0")
-            big_build = min(big_build, time.time() - t0)
+            big_builds.append(time.time() - t0)
+        big_build = min(big_builds)
+        queries["big_index_build_cold"] = round(big_builds[0], 3)
         bcorpus.unpersist()
         queries["big_index_build"] = round(big_build, 3)
         big_meta = {
