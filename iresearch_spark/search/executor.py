@@ -1035,10 +1035,10 @@ class SearchEngine:
             return self._phrase_hits(leaf, boost)
         spec = self._query_spec(leaf, boost)
         assert spec is not None
-        scorers, min_match, _, _merge = spec
+        scorers, min_match, _, merge = spec
         if not scorers:
             return self._empty_hits()
-        return self._hits_scan(scorers, min_match=min_match).select(
+        return self._hits_scan(scorers, min_match=min_match, merge=merge).select(
             "gdoc", F.col("score").cast(self._score_t).alias("score")
         )
 
@@ -1151,7 +1151,13 @@ class SearchEngine:
             poss = tuple(c for c in node.children if not isinstance(c, Not))
             if poss:
                 out = self._eval(
-                    And(poss, boost=node.boost, const_boost=node.const_boost), boost
+                    And(
+                        poss,
+                        boost=node.boost,
+                        const_boost=node.const_boost,
+                        merge=node.merge,
+                    ),
+                    boost,
                 )
             else:  # And(Not x, Not y) -> all docs minus the union
                 out = self._eval(All(boost=node.boost), boost)

@@ -238,7 +238,13 @@ def normalize(node: Node) -> Node:
             return Empty()
         if len(kids) == 1:
             return _boosted(kids[0], node.boost)
-        if m == len(kids):
+        if m == len(kids) and not any(isinstance(c, Not) for c in kids):
+            # all-legs-required Or == And — but ONLY without Not legs: an
+            # Or's Not leg is a SCORING universe-complement leg (counts
+            # toward min_match, contributes its boost), while And's Not
+            # legs are pure exclusions; rewriting across that boundary
+            # silently changed both the score and the merge semantics
+            # (caught by test_random_trees_multiterm_leaves_match_oracle)
             return normalize(And(children=tuple(kids), boost=node.boost, merge=node.merge))
         return Or(children=tuple(kids), min_match=max(1, m), boost=node.boost, merge=node.merge)
 

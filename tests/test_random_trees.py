@@ -19,7 +19,18 @@ import pytest
 from iresearch_spark.analysis.analyzers import DEFAULT_STOPWORDS
 from iresearch_spark.corpus import generate_corpus
 from iresearch_spark.index.segments import IndexStore, build_segment
-from iresearch_spark.search import And, Not, Or, Phrase, Prefix, SearchEngine, Term
+from iresearch_spark.search import (
+    And,
+    Fuzzy,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Range,
+    SearchEngine,
+    Term,
+    Wildcard,
+)
 from iresearch_spark.search.query import Node, normalize
 from iresearch_spark.search.scorers import PreciseBM25
 from tests import oracle
@@ -87,6 +98,49 @@ def _score_phrase(idx, terms: list[str], boost: float) -> dict[int, float]:
     return out
 
 
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _expansion_terms(idx, node: Node) -> list[str]:
+    """Independent dictionary expansion for multiterm leaves (mirrors the
+    documented engine semantics: Wildcard * -> any run / ? -> one char;
+    Range lexicographic with include flags; Fuzzy plain Levenshtein)."""
+    import re
+
+    terms = sorted(idx.postings)
+    if isinstance(node, Wildcard):
+        rx = re.compile(
+            "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in node.pattern
+            )
+        )
+        return [t for t in terms if rx.fullmatch(t)]
+    if isinstance(node, Range):
+        out = []
+        for t in terms:
+            if node.min_term is not None:
+                if t < node.min_term or (t == node.min_term and not node.include_min):
+                    continue
+            if node.max_term is not None:
+                if t > node.max_term or (t == node.max_term and not node.include_max):
+                    continue
+            out.append(t)
+        return out
+    if isinstance(node, Fuzzy):
+        return [t for t in terms if _levenshtein(t, node.term) <= node.distance]
+    raise TypeError(node)
+
+
 def _oracle_eval(idx, node: Node, boost: float = 1.0) -> dict[int, float]:
     """Mirrors SearchEngine._eval's scoring semantics on plain dicts."""
     from iresearch_spark.search.query import All, Empty
@@ -109,6 +163,15 @@ def _oracle_eval(idx, node: Node, boost: float = 1.0) -> dict[int, float]:
         return out
     if isinstance(node, Phrase):
         return _score_phrase(idx, list(node.terms), boost * node.boost)
+    if isinstance(node, (Wildcard, Range, Fuzzy)):
+        # multiterm leaves expand to every matching dictionary term, each
+        # scored at the leaf boost, kSum per doc (limits kept above
+        # expansion size in this test, so no zero-score tail)
+        out: dict[int, float] = {}
+        for t in _expansion_terms(idx, node):
+            for d, s in _score_term(idx, t, boost * node.boost).items():
+                out[d] = out.get(d, 0.0) + s
+        return out
     if isinstance(node, Not):
         child = _oracle_eval(idx, node.child, boost)
         b = boost * node.boost
@@ -158,13 +221,37 @@ def _random_tree(
 ) -> Node:
     if depth == 0 or rng.random() < 0.35:
         r = rng.random()
-        if bigrams and r < 0.15:
+        if bigrams and r < 0.12:
             return Phrase(tuple(rng.choice(bigrams)), boost=rng.choice((1.0, 2.0)))
-        if prefixes and r < 0.3:
+        if prefixes and r < 0.24:
             return Prefix(
                 rng.choice(prefixes),
                 scored_terms_limit=100_000,  # above expansion size: no tail
                 boost=rng.choice((1.0, 0.5)),
+            )
+        real = [t for t in vocab if len(t) >= 3 and not t.startswith("zzz")] or vocab
+        if r < 0.36:  # wildcard built from a real term -> non-empty expansion
+            t = rng.choice(real)
+            pat = rng.choice(
+                (t[0] + "*", t[0] + "*" + t[-1], t[:2] + "?" + t[3:] if len(t) > 3 else t[0] + "*")
+            )
+            return Wildcard(pat, scored_terms_limit=100_000, boost=rng.choice((1.0, 2.0)))
+        if r < 0.48:
+            lo, hi = sorted(rng.sample(real, 2))
+            return Range(
+                min_term=lo,
+                max_term=hi,
+                include_min=rng.random() < 0.5,
+                include_max=rng.random() < 0.5,
+                scored_terms_limit=100_000,
+                boost=rng.choice((1.0, 0.5)),
+            )
+        if r < 0.6:
+            return Fuzzy(
+                rng.choice(real),
+                distance=rng.choice((1, 2)),
+                max_terms=100_000,
+                boost=rng.choice((1.0, 2.0)),
             )
         return Term(rng.choice(vocab), boost=rng.choice((1.0, 0.5, 2.0)))
     kind = rng.random()
@@ -225,6 +312,30 @@ def test_random_boolean_trees_match_oracle(rt):
         if exp:
             checked += 1
     assert checked >= 15  # the generator must produce mostly non-empty queries
+
+
+def test_random_trees_multiterm_leaves_match_oracle(rt):
+    """Second seeded pass biased toward the expansion leaf family
+    (Wildcard/Range/Fuzzy alongside Term/Prefix/Phrase) so every
+    multiterm leaf kind is exercised INSIDE arbitrary And/Or/Not
+    min_match/merge contexts, not just standalone at the top level."""
+    eng, idx = rt
+    by_df = sorted(idx.postings, key=lambda t: -idx.doc_freq(t))
+    vocab = by_df[:8] + by_df[len(by_df) // 2 : len(by_df) // 2 + 4]
+    rng = random.Random(77)
+    kinds: set[type] = set()
+    checked = 0
+    for _ in range(25):
+        tree = _random_tree(rng, vocab, depth=2)
+        kinds |= _leaf_kinds(tree)
+        exp = _oracle_topk(idx, tree, 15)
+        got = [(r["gdoc"], r["score"]) for r in eng.topk(tree, 15).collect()]
+        got = [(d, math.floor(s * 1e6 + 0.5) / 1e6) for d, s in got]
+        assert got == exp, f"tree={tree}"
+        if exp:
+            checked += 1
+    assert checked >= 12
+    assert {Wildcard, Range, Fuzzy} <= kinds
 
 
 def _leaf_kinds(node: Node) -> set[type]:
