@@ -327,7 +327,12 @@ def nearest_labels(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    cos = dot / (_norm(F.col("_v")) * _norm(F.col("_lv")))
+    # zero-norm guard (r5 ADVICE): a zero embedding or centroid would give
+    # NaN, which Spark's DESC ordering ranks FIRST (NaN sorts largest) —
+    # diverging from the SQL oracle's div-by-zero null. Null cosine sorts
+    # LAST under desc ordering on both sides instead.
+    nprod = _norm(F.col("_v")) * _norm(F.col("_lv"))
+    cos = F.when(nprod != 0.0, dot / nprod)
     pairs = e.join(F.broadcast(l)).select("id", "label", cos.alias("cosine"))
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("label"))
     return (

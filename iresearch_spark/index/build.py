@@ -597,7 +597,15 @@ def _make_doc_packer(
     # 1.22s -> 0.83s per 20k docs / 2.8M tokens). Anything else keeps the
     # general split path.
     _neg = _re.fullmatch(r"\[\^((?:[^\]\\]|\\.)+)\]\+", spec["delim"])
-    tokrx = _re.compile(f"[{_neg.group(1)}]+") if _neg else None
+    tokrx = None
+    if _neg and not _neg.group(1).startswith("^"):
+        # A leading bare '^' in the captured content (e.g. '[^^abc]+') would
+        # make the complement class '[^abc]+' NEGATED again, silently
+        # inverting tokenization — fall back to the split path for those.
+        try:
+            tokrx = _re.compile(f"[{_neg.group(1)}]+")
+        except _re.error:
+            tokrx = None
     stop = spec["stop"]
     lower = spec["lower"]
     use_stem = spec["stem"]

@@ -633,6 +633,7 @@ def build_sliced(
     prefix: str = "slice",
     key_cols: list[str] | None = None,
     text_col: str = "content",
+    stage: bool = True,
     **build_kw,
 ) -> list[SegmentMeta]:
     """Resumable sliced corpus build — the 100-TB operational shape: the
@@ -648,24 +649,81 @@ def build_sliced(
     the recovery points; segments are never partially visible
     (core/index/index_writer.cpp:2356-2420 two-phase commit).
 
+    ONE-PASS staging (r5 VERDICT next-3 — the r5 version filtered the full
+    source K times, i.e. K full scans at 100 TB): with stage=True (default)
+    the source is scanned ONCE, partitioned on the slice hash and written
+    as a slice-partitioned parquet intermediate under the index root; each
+    per-slice build then reads back only its own partition directory
+    (partition-pruned). The stage is resumable too (Spark's _SUCCESS marker
+    gates reuse) and is removed after the last slice commits. stage=False
+    keeps the filter-per-slice shape for sources that are ALREADY
+    bucket/partitioned on the same hash (e.g. an Iceberg table bucketed on
+    the key), where engine-side pruning makes the K filters cheap.
+
+    The slicing spec (n_slices + key_cols) is recorded atomically at
+    `<root>/slicespec-<prefix>.json` on first invocation and validated on
+    every resume: re-invoking with the same prefix but a different
+    n_slices/key_cols raises instead of silently mixing partitionings
+    across committed and new segments (r5 ADVICE).
+
     Returns the metas of the segments built or found committed, slice
     order. For cluster runs size slices so one slice's shuffle fits the
     cluster comfortably (e.g. 0.5-2 TB of input per slice at 10^12-file
     scale)."""
     key_cols = key_cols or ["repo", "path", "commit"]
+    spec = {"n_slices": n_slices, "key_cols": list(key_cols)}
+    spec_path = os.path.join(store.root, f"slicespec-{prefix}.json")
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            prev = json.load(f)
+        if prev != spec:
+            raise ValueError(
+                f"slice spec mismatch for prefix '{prefix}': committed "
+                f"{prev} vs invoked {spec} — resuming would silently mix "
+                f"partitionings; use a new prefix or matching arguments"
+            )
+    else:
+        tmp = spec_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, spec_path)
     committed = {s.name for s in store.current().segments}
     slice_col = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_slices))
+    remaining = [
+        i for i in range(n_slices) if f"{prefix}{i:05d}" not in committed
+    ]
+    staged: DataFrame | None = None
+    stage_dir = os.path.join(store.root, f"_stage_{prefix}")
+    if stage and remaining:
+        if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+            # the single source scan: partitionBy writes one directory per
+            # slice; an interrupted write leaves no _SUCCESS and is redone
+            (
+                docs.withColumn("_ir_slice", slice_col)
+                .write.partitionBy("_ir_slice")
+                .mode("overwrite")
+                .parquet(stage_dir)
+            )
+        staged = spark.read.parquet(stage_dir)
     metas: list[SegmentMeta] = []
     for i in range(n_slices):
         name = f"{prefix}{i:05d}"
         if name in committed:
             metas.append(next(s for s in store.current().segments if s.name == name))
             continue
-        part = docs.where(slice_col == i)
+        if staged is not None:
+            # partition-pruned read of ONE slice directory
+            part = staged.where(F.col("_ir_slice") == i).drop("_ir_slice")
+        else:
+            part = docs.where(slice_col == i)
         metas.append(
             build_segment(
                 spark, store, part, name,
                 text_col=text_col, key_cols=key_cols, **build_kw,
             )
         )
+    if stage and os.path.exists(stage_dir):
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
     return metas

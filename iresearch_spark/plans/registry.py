@@ -154,6 +154,13 @@ def build_registry() -> dict[str, dict]:
         lambda: Fuzzy("bathc", distance=1, transpositions=True, max_terms=NO_LIMIT),
         P.bm25_topk(P.DUCK, term_pred="damerau_levenshtein(tf.term, 'bathc') <= 1"),
     )
+    # d=3 (reference parametric DFA supports d <= 4,
+    # utils/levenshtein_utils.cpp:756, levenshtein_filter.cpp:283); d=4 is
+    # property-tested vs DuckDB in tests/test_round6.py
+    r["fuzzy3_batch"] = _eng(
+        lambda: Fuzzy("batch", distance=3, max_terms=NO_LIMIT),
+        P.bm25_topk(P.DUCK, term_pred="levenshtein(tf.term, 'batch') <= 3"),
+    )
     # --- phrase (positional kernel) ---
     r["phrase_low"] = _eng(
         lambda: Phrase(tuple(PHRASE)), P.phrase_topk(P.DUCK, terms=PHRASE)
@@ -554,29 +561,75 @@ def build_registry() -> dict[str, dict]:
         )
 
     r["classify_labels"] = {"fn": _classify, "duck": P.classify_labels_sql(P.DUCK)}
-    # --- driver-window ordering (r4 VERDICT next-1): the driver emits only
-    # the first ~50 insertion-ordered entries, so the 8 near-redundant
-    # scorer-variant / boolean-permutation rows below (each a parameter
-    # tweak of a row that stays in the window, and each pinned by its own
-    # pytest oracle) move to the TAIL. This pulls every LLM-pipeline entry
-    # (quality/embedding/ANN/streaming/minhash/simhash/neardup) inside the
-    # driver's CORRECTNESS window — including the two that had never had a
-    # driver row (embedding_neardup_pairs, ann_lsh_topk).
-    tail = (
-        "or4",            # wide-Or permutation of or_high_med
-        "or6",            # wider-Or permutation of or_high_med
-        "terms_kmax",     # Terms merge=max ~ or_kmax_high_med
-        "or_kmax_high_med",
-        "or_kmin_high_med",
-        "bm15_high_med",  # BM25 b=0 variant of or_high_med
-        "bm11_high_med",  # BM25 b=1 variant of or_high_med
-        "bm1_high",       # BM25 k=0 variant of term_high
-        "classify_labels",  # r5 addition: pytest-twinned from birth
-    )
-    ordered = {k: v for k, v in r.items() if k not in tail}
-    for k in tail:
+    # --- driver-window ROTATION (r5 VERDICT next-2): the driver emits
+    # only the first ~50 insertion-ordered entries per round, so a fixed
+    # ordering would leave the same 10 entries permanently outside the
+    # per-round hard oracle (the r4 failure mode). The 20 entries of
+    # ROTATION_POOL — every one pinned by its own pytest oracle twin —
+    # alternate halves each round as a deterministic function of the round
+    # number (parity of max CORRECTNESS_r*.json + 1, overridable via
+    # IRS_GATE_ROUND), so EVERY registry entry gets a driver CORRECTNESS
+    # row at least every other round. CORE_ENTRIES stay in-window always.
+    ordered = {k: r[k] for k in CORE_ENTRIES}
+    a, b = ROTATION_POOL_A, ROTATION_POOL_B
+    first, second = (a, b) if _gate_round() % 2 == 1 else (b, a)
+    for k in first + second:
         ordered[k] = r[k]
+    assert set(ordered) == set(r), sorted(set(r) ^ set(ordered))
     return ordered
+
+
+# always in the driver window (first 40 slots)
+CORE_ENTRIES = (
+    "doclen", "term_stats", "field_stats",
+    "term_high", "term_med", "term_low",
+    "and_high_med", "and_high_low", "or_high_med", "or_high_low",
+    "terms_boosted", "min_match_2of3", "min_match_2of4",
+    "not_high_minus_med", "term_high_deleted", "or_deleted",
+    "prefix_s", "wildcard", "prefix_tiered_tail", "range_q_t",
+    "fuzzy_batch", "fuzzy2_batch", "fuzzy_damerau",
+    "phrase_low", "phrase_med", "phrase_gap", "varphrase_prefix",
+    "same_position", "nested_parents", "highlight_offsets",
+    "payload_stream", "tfidf_high", "tfidf_norms_high",
+    "bm25_legacy_high", "column_existence", "ngram_similarity",
+    "ngram_similarity_longest", "dedup_exact", "token_quality", "langid",
+)
+# rotation half A: LLM-pipeline tier (in-window on ODD rounds)
+ROTATION_POOL_A = (
+    "ngram_jaccard_pairs", "fingerprint", "quality_stats",
+    "embedding_topk", "ann_ivf_full_topk", "event_window_stats",
+    "minhash_lsh_pairs", "simhash_pairs", "embedding_neardup_pairs",
+    "ann_lsh_topk",
+)
+# rotation half B: scorer-variant / boolean-permutation / r5-r6 additions
+# (in-window on EVEN rounds — r6 puts the nine r5-displaced entries plus
+# the new fuzzy3_batch under the driver oracle, per r5 VERDICT next-2)
+ROTATION_POOL_B = (
+    "or4", "or6", "terms_kmax", "or_kmax_high_med", "or_kmin_high_med",
+    "bm15_high_med", "bm11_high_med", "bm1_high", "classify_labels",
+    "fuzzy3_batch",
+)
+
+
+def _gate_round() -> int:
+    """Driver round number: IRS_GATE_ROUND env if set, else 1 + the max N
+    over CORRECTNESS_r{N}.json files at the repo root (the driver writes
+    r{N} at the END of round N, so during round N the max present is
+    N-1)."""
+    import os
+    import re
+    from pathlib import Path
+
+    env = os.environ.get("IRS_GATE_ROUND")
+    if env:
+        return int(env)
+    root = Path(__file__).resolve().parents[2]
+    ns = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    return (max(ns) + 1) if ns else 1
 
 
 REGISTRY = build_registry()

@@ -177,7 +177,9 @@ def _damerau(a: str, b: str) -> int:
     return d[la + 1][lb + 1]
 
 
-def _damerau_batch(cands: list[str], b: str, chunk: int = 65536) -> np.ndarray:
+def _damerau_batch(
+    cands: list[str], b: str, target_bytes: int = 128 << 20
+) -> np.ndarray:
     """Vectorized true Damerau-Levenshtein of many candidate strings
     against one query: the same unrestricted DP as `_damerau`, batched
     along the candidate axis in numpy (length-grouped so every candidate
@@ -203,6 +205,10 @@ def _damerau_batch(cands: list[str], b: str, chunk: int = 65536) -> np.ndarray:
         if la == 0:
             out[grp] = lb
             continue
+        # chunk sized from the DP area so the (m, la+2, lb+2) history
+        # tensor stays bounded regardless of string length (a fixed chunk
+        # made memory scale with la*lb — ADVICE r5)
+        chunk = max(1, target_bytes // ((la + 2) * (lb + 2) * 8))
         for c0 in range(0, grp.size, chunk):
             idx = grp[c0 : c0 + chunk]
             m = idx.size
@@ -257,8 +263,14 @@ def _topk_sums_kernel(
     grouped: bool,
     prune: bool,
     counters: dict | None = None,
+    default_scorer: TermScorer | None = None,
+    other_ub_default: float = 0.0,
 ):
     """mapInPandas kernel: packed block rows -> per-doc (gdoc, score, n_terms).
+
+    default_scorer: scorer for block terms NOT in `scorers` — the
+    distributed unscored tail (no-vocab regime), always a shared zero
+    scorer; None (default) keeps missing terms a hard error.
 
     grouped=True requires rows sorted by (segment, chunkid) within the
     partition (a doc's blocks for all query terms share one group — chunk
@@ -357,16 +369,19 @@ def _topk_sums_kernel(
                 tb = np.empty(n, dtype=np.float64)
                 for term in set(terms.tolist()):
                     m = terms == term
-                    sc_t = scorers[term]
+                    sc_t = scorers.get(term, default_scorer)
                     blk = sc_t.scores(
                         maxtf[m].astype(sc_t.dtype), mindl[m].astype(sc_t.dtype)
                     ).astype(np.float64)
                     if merge == "sum":
                         # doc total <= this leg's block bound + every other
                         # leg's whole-list bound
-                        tb[m] = blk + other_ub[term] + const_add
+                        tb[m] = blk + other_ub.get(term, other_ub_default) + const_add
                     elif merge == "max":
-                        tb[m] = np.maximum(blk, other_ub[term]) + const_add
+                        tb[m] = (
+                            np.maximum(blk, other_ub.get(term, other_ub_default))
+                            + const_add
+                        )
                     else:  # min: doc present in THIS leg -> min <= blk
                         tb[m] = blk + const_add
                 tb = _transform_arr(mode, tb)
@@ -383,7 +398,7 @@ def _topk_sums_kernel(
                         counters["skipped"] = counters.get("skipped", 0) + 1
                     continue  # block-max skip (STRICT <)
                 term = terms[i]
-                sc = scorers[term]
+                sc = scorers.get(term, default_scorer)
                 docs = delta_decode(varint_decode(docsb[i])).astype(
                     np.int64
                 ) + seg_base.get(segs[i], 0)
@@ -666,34 +681,49 @@ class SearchEngine:
         )
         return [(r["term"], r["doc_freq"]) for r in rows]
 
-    def _leaf_term_matches(self, leaf: Node) -> tuple[DataFrame, int]:
-        """(term_stats rows matching the leaf, scored-terms limit)."""
-        ts = self.term_stats
+    def _leaf_term_cond(self, leaf: Node):
+        """Catalyst Column predicate over a `term` column matching the leaf
+        — applied to term_stats for expansion AND (no-vocab regime) directly
+        to the postings scan as the distributed unscored tail, so tail terms
+        never materialize on the driver (the reference's lazy-bitset tail,
+        multiterm_query.cpp:36-71, never lists tail terms either)."""
+        c = F.col("term")
         if isinstance(leaf, Term):
-            return ts.where(F.col("term") == leaf.term), 1
+            return c == leaf.term
         if isinstance(leaf, Terms):
-            return ts.where(F.col("term").isin(*leaf.terms)), len(leaf.terms)
+            return c.isin(*leaf.terms)
         if isinstance(leaf, Prefix):
-            return ts.where(F.col("term").startswith(leaf.prefix)), leaf.scored_terms_limit
+            return c.startswith(leaf.prefix)
         if isinstance(leaf, Wildcard):
-            return (
-                ts.where(F.col("term").like(wildcard_to_like(leaf.pattern))),
-                leaf.scored_terms_limit,
-            )
+            return c.like(wildcard_to_like(leaf.pattern))
         if isinstance(leaf, Fuzzy):
+            # length band first: |len(t)-len(q)| > d can never be within d,
+            # and the band is far cheaper than the DP levenshtein — at d=3-4
+            # the unbanded levenshtein over every dictionary term dominates
             return (
-                ts.where(F.levenshtein(F.col("term"), F.lit(leaf.term)) <= leaf.distance),
-                leaf.max_terms,
-            )
+                F.abs(F.length(c) - F.lit(len(leaf.term))) <= leaf.distance
+            ) & (F.levenshtein(c, F.lit(leaf.term)) <= leaf.distance)
         if isinstance(leaf, Range):
-            c = F.col("term")
             cond = F.lit(True)
             if leaf.min_term is not None:
                 cond = cond & (c >= leaf.min_term if leaf.include_min else c > leaf.min_term)
             if leaf.max_term is not None:
                 cond = cond & (c <= leaf.max_term if leaf.include_max else c < leaf.max_term)
-            return ts.where(cond), leaf.scored_terms_limit
+            return cond
         raise TypeError(f"not an expandable leaf: {leaf}")
+
+    def _leaf_term_matches(self, leaf: Node) -> tuple[DataFrame, int]:
+        """(term_stats rows matching the leaf, scored-terms limit)."""
+        limit = (
+            1
+            if isinstance(leaf, Term)
+            else len(leaf.terms)
+            if isinstance(leaf, Terms)
+            else leaf.max_terms
+            if isinstance(leaf, Fuzzy)
+            else leaf.scored_terms_limit
+        )
+        return self.term_stats.where(self._leaf_term_cond(leaf)), limit
 
     @staticmethod
     def _succ_upper(vt: list[str], p: str) -> int:
@@ -809,49 +839,85 @@ class SearchEngine:
             pairs = [
                 (vt[i], vd[i]) for i, dd in zip(band, dist) if dd <= dmax
             ]
-        else:
-            def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    dd = _damerau_batch(pdf["term"].tolist(), q)
-                    yield pdf[dd <= dmax]
+            pairs.sort(key=lambda p: (-p[1], p[0]))
+            return pairs
+        # no-vocab: distributed verify; collect only the bounded head
+        rows = (
+            self._damerau_matches_df(leaf)
+            .orderBy(F.desc("doc_freq"), F.asc("term"))
+            .limit(leaf.max_terms)
+            .collect()
+        )
+        return [(r["term"], r["doc_freq"]) for r in rows]
 
-            rows = (
-                self.term_stats.where(
-                    F.levenshtein(F.col("term"), F.lit(q)) <= 2 * dmax
-                )
-                .select("term", "doc_freq")
-                .mapInPandas(verify, "term string, doc_freq long")
-                .collect()
+    def _damerau_matches_df(self, leaf: Fuzzy) -> DataFrame:
+        """term_stats rows whose TRUE Damerau distance to leaf.term <= d,
+        verified on the EXECUTORS (mapInPandas `_damerau_batch`) behind a
+        JVM length-band + lev <= 2d prefilter (damerau <= lev always, and a
+        transposition = 2 substitutions, so damerau <= d implies lev <= 2d;
+        every edit op changes length by at most 1, so damerau >= |len diff|).
+        Nothing is collected here — callers take a bounded head or semi-join
+        the postings scan against it."""
+        q, dmax = leaf.term, leaf.distance
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                dd = _damerau_batch(pdf["term"].tolist(), q)
+                yield pdf[dd <= dmax]
+
+        return (
+            self.term_stats.where(
+                (F.abs(F.length("term") - F.lit(len(q))) <= dmax)
+                & (F.levenshtein(F.col("term"), F.lit(q)) <= 2 * dmax)
             )
-            pairs = [(r["term"], r["doc_freq"]) for r in rows]
-        pairs.sort(key=lambda p: (-p[1], p[0]))
-        return pairs
+            .select("term", "doc_freq")
+            .mapInPandas(verify, "term string, doc_freq long")
+        )
 
-    def expand_tiered(self, leaf: Node) -> tuple[list[tuple[str, int]], list[str]]:
+    def expand_tiered(self, leaf: Node) -> tuple[list[tuple[str, int]], object]:
         """(scored expansion, unscored tail): the reference multiterm query
         scores only the collector's top terms and unions every OTHER
         matched term's postings as a zero-score bitset leg
         (multiterm_query.cpp:36-71 — lazy_bitset_iterator carries an empty
         `score`, so tail-only docs surface with score 0). Exact terms have
-        no tail. Expansions past TERM_IN_MAX reach the scan as a broadcast
-        left-semi join rather than a `term IN` literal list (see
-        _term_filtered)."""
+        no tail.
+
+        Tail representation by regime:
+        - vocab cached (<= VOCAB_CACHE_MAX terms): list[str] — bounded by
+          the cache cap, becomes shared zero-scorer dict entries.
+        - vocab too large (the 100-TB regime): NEVER a driver list. Only the
+          scored head (`limit` rows) is collected; the tail reaches the
+          postings scan as a Catalyst predicate Column (prefix/wildcard/
+          range/fuzzy) or a matched-terms DataFrame semi-join (Damerau),
+          exactly the reference's lazy bitset which never lists tail terms
+          either (multiterm_query.cpp:36-71, formats.hpp:228-229)."""
         if isinstance(leaf, (Term, Terms)):
             return self.expand(leaf), []
         if isinstance(leaf, Fuzzy) and leaf.transpositions:
-            pairs = self._fuzzy_damerau_pairs(leaf)
-            return pairs[: leaf.max_terms], [t for t, _ in pairs[leaf.max_terms :]]
+            if self._vocab_pairs() is not None:
+                pairs = self._fuzzy_damerau_pairs(leaf)
+                return pairs[: leaf.max_terms], [t for t, _ in pairs[leaf.max_terms :]]
+            # no-vocab: distributed Damerau verify (executors, mapInPandas);
+            # collect ONLY the scored head, tail stays a DataFrame
+            verified = self._damerau_matches_df(leaf)
+            rows = (
+                verified.orderBy(F.desc("doc_freq"), F.asc("term"))
+                .limit(leaf.max_terms)
+                .collect()
+            )
+            return [(r["term"], r["doc_freq"]) for r in rows], verified.select("term")
         local = self._vocab_matches(leaf)
         if local is not None:
             local.sort(key=lambda p: (-p[1], p[0]))
             limit = leaf.max_terms if isinstance(leaf, Fuzzy) else leaf.scored_terms_limit
             return local[:limit], [t for t, _ in local[limit:]]
         df, limit = self._leaf_term_matches(leaf)
-        rows = df.orderBy(F.desc("doc_freq"), F.asc("term")).collect()
-        pairs = [(r["term"], r["doc_freq"]) for r in rows]
-        return pairs[:limit], [t for t, _ in pairs[limit:]]
+        rows = (
+            df.orderBy(F.desc("doc_freq"), F.asc("term")).limit(limit).collect()
+        )
+        return [(r["term"], r["doc_freq"]) for r in rows], self._leaf_term_cond(leaf)
 
     # ------------------------------------------------------ physical pieces
 
@@ -893,15 +959,30 @@ class SearchEngine:
         k: int | None = None,
         prune: bool = False,
         mode: str | None = None,
+        tail_sel=None,
     ) -> DataFrame:
         """One job: packed blocks of the given terms -> per-doc summed hits
         (gdoc, score, n_terms). No shuffle for single-term queries; ONE
-        block-level (segment, chunk) repartition otherwise."""
+        block-level (segment, chunk) repartition otherwise.
+
+        tail_sel (no-vocab multiterm regime): a Column predicate over `term`
+        or a DataFrame of matched terms selecting ALL matched blocks (scored
+        head included) straight off the postings scan — predicates like
+        `term LIKE 'pre%'` push into parquet; a term-DataFrame becomes a
+        semi-join. Blocks whose term is outside `scorers` score ZERO via a
+        shared default scorer in the kernel; no tail term ever reaches the
+        driver."""
         # explicit projection: mapInPandas does not push column pruning into
         # the scan, and pos_bin (the largest column) is not needed to score
-        blocks = self._term_filtered(self.postings, list(scorers.keys())).select(
-            *self.SCAN_COLS
-        )
+        if tail_sel is None:
+            blocks = self._term_filtered(self.postings, list(scorers.keys()))
+        elif isinstance(tail_sel, DataFrame):
+            blocks = self.postings.join(
+                tail_sel.select("term"), "term", "left_semi"
+            )
+        else:
+            blocks = self.postings.where(tail_sel)
+        blocks = blocks.select(*self.SCAN_COLS)
         mode = mode or self.leaf_mode
         if prune and not all(
             getattr(sc, "monotone_dl", True) for sc in scorers.values()
@@ -909,14 +990,19 @@ class SearchEngine:
             # (max_tf, min_dl) does not dominate a block for scorers that
             # reward longer docs (legacy-Norm BM25) — skip nothing
             prune = False
-        if len(scorers) == 1:
+        other_ub_default = 0.0
+        if len(scorers) == 1 and tail_sel is None:
             # single leg: the block's own (max_tf, min_dl) bound suffices —
             # no whole-list bound needed (works for any scorer, incl. TFIDF)
             other_ub = {t: 0.0 for t in scorers}
         elif merge == "sum":
+            # tail legs (zero scorer) contribute 0 to every sum bound, so
+            # the scored-dict totals remain valid with a distributed tail;
+            # a tail block's own bound is 0 + the whole scored total
             ubs = {t: sc.term_ub() for t, sc in scorers.items()}
             total_ub = sum(ubs.values())
             other_ub = {t: total_ub - u for t, u in ubs.items()}
+            other_ub_default = total_ub
             if prune and not np.isfinite(total_ub):
                 prune = False  # no closed-form whole-list bound (e.g. TFIDF)
         elif merge == "max":
@@ -925,11 +1011,14 @@ class SearchEngine:
                 t: max((u for x, u in ubs.items() if x != t), default=float("-inf"))
                 for t in ubs
             }
+            other_ub_default = max(ubs.values(), default=float("-inf"))
             if prune and not all(np.isfinite(u) for u in ubs.values()):
                 prune = False
         else:  # min-merge: block-local bound only
             other_ub = {t: 0.0 for t in scorers}
-        grouped = len(scorers) > 1 or min_match > 1
+            if prune and tail_sel is not None:
+                prune = False  # min with unknown tail legs: no safe bound
+        grouped = len(scorers) > 1 or min_match > 1 or tail_sel is not None
         if grouped:
             n_part = self.spark.sparkContext.defaultParallelism
             blocks = (
@@ -955,6 +1044,12 @@ class SearchEngine:
             deleted=self._deleted_arr if self._deleted_inline else None,
             grouped=grouped,
             prune=prune,
+            default_scorer=(
+                (PreciseConstTermScorer(0.0) if self.precise else ConstTermScorer(0.0))
+                if tail_sel is not None
+                else None
+            ),
+            other_ub_default=other_ub_default,
         )
         hits = blocks.mapInPandas(kernel, HITS_SCHEMA)
         if not self._deleted_inline:
@@ -972,10 +1067,14 @@ class SearchEngine:
 
     def _query_spec(
         self, node: Node, boost: float = 1.0
-    ) -> tuple[dict[str, TermScorer], int, float, str] | None:
-        """(scorers, min_match, const_add, merge) for single-scan shapes:
-        exact/multiterm leaves and flat And/Or of exact terms. None when the
-        node needs the general evaluator (phrase legs, nesting, Not)."""
+    ) -> tuple[dict[str, TermScorer], int, float, str, object] | None:
+        """(scorers, min_match, const_add, merge, tail_sel) for single-scan
+        shapes: exact/multiterm leaves and flat And/Or of exact terms. None
+        when the node needs the general evaluator (phrase legs, nesting,
+        Not). tail_sel is None (tail folded into scorers as zero entries —
+        vocab regime) or a Column predicate / term-DataFrame selecting ALL
+        matched terms for the postings scan (no-vocab regime; terms outside
+        the scorer dict score zero in the kernel)."""
         if isinstance(node, (Term, Terms, Prefix, Wildcard, Fuzzy, Range)):
             expansion, tail = self.expand_tiered(node)
             min_match = node.min_match if isinstance(node, Terms) else 1
@@ -1000,11 +1099,21 @@ class SearchEngine:
             # shared zero-scorer instance: a wide expansion's kernel closure
             # pickles the scorer dict per task, and 10k identical frozen
             # dataclasses serialize as 10k objects unless shared
-            if tail:
-                zero = PreciseConstTermScorer(0.0) if self.precise else ConstTermScorer(0.0)
-                for t in tail:
-                    scorers[t] = zero
-            return scorers, min_match, 0.0, merge
+            tail_sel = None
+            if isinstance(tail, list):
+                if tail:
+                    zero = (
+                        PreciseConstTermScorer(0.0)
+                        if self.precise
+                        else ConstTermScorer(0.0)
+                    )
+                    for t in tail:
+                        scorers[t] = zero
+            else:
+                # no-vocab regime: tail is a predicate/DataFrame — stays
+                # distributed all the way to the postings scan
+                tail_sel = tail
+            return scorers, min_match, 0.0, merge, tail_sel
         if (
             isinstance(node, (And, Or))
             and all(isinstance(c, Term) for c in node.children)
@@ -1020,13 +1129,13 @@ class SearchEngine:
             }
             if isinstance(node, And):
                 if len(scorers) < len(node.children):
-                    return {}, 1, 0.0, "sum"  # absent conjunct -> Empty
+                    return {}, 1, 0.0, "sum", None  # absent conjunct -> Empty
                 need = len(node.children)
                 const = node.const_boost * boost
             else:
                 need = node.min_match
                 const = 0.0
-            return scorers, need, const, node.merge
+            return scorers, need, const, node.merge, None
         return None
 
     def _leaf_hits(self, leaf: Node, boost: float) -> DataFrame:
@@ -1035,10 +1144,12 @@ class SearchEngine:
             return self._phrase_hits(leaf, boost)
         spec = self._query_spec(leaf, boost)
         assert spec is not None
-        scorers, min_match, _, merge = spec
+        scorers, min_match, _, merge, tail_sel = spec
         if not scorers:
             return self._empty_hits()
-        return self._hits_scan(scorers, min_match=min_match, merge=merge).select(
+        return self._hits_scan(
+            scorers, min_match=min_match, merge=merge, tail_sel=tail_sel
+        ).select(
             "gdoc", F.col("score").cast(self._score_t).alias("score")
         )
 
@@ -1167,11 +1278,15 @@ class SearchEngine:
             return out
         spec = self._query_spec(node, boost)
         if spec is not None:
-            scorers, min_match, const, merge = spec
+            scorers, min_match, const, merge, tail_sel = spec
             if not scorers:
                 return self._empty_hits()
             return self._hits_scan(
-                scorers, min_match=min_match, const_add=const, merge=merge
+                scorers,
+                min_match=min_match,
+                const_add=const,
+                merge=merge,
+                tail_sel=tail_sel,
             ).select("gdoc", F.col("score").cast(self._score_t).alias("score"))
         if isinstance(node, (And, Or)):
             poss = list(node.children)
@@ -1440,7 +1555,7 @@ class SearchEngine:
             else None
         )
         if spec is not None:
-            scorers, min_match, const, merge = spec
+            scorers, min_match, const, merge, tail_sel = spec
             if not scorers:
                 hits = self._empty_hits()
             else:
@@ -1453,6 +1568,7 @@ class SearchEngine:
                     k=k,
                     prune=prune,
                     mode=self.final_mode,
+                    tail_sel=tail_sel,
                 ).select("gdoc", F.col("score").cast(self._score_t).alias("score"))
             return hits.orderBy(F.desc("score"), F.asc("gdoc")).limit(k)
         hits = self._mask(self._eval(n))

@@ -81,6 +81,7 @@ def main() -> int:
             prefix=(args.segment or "slice"),
             key_cols=args.key_cols.split(","),
             text_col=args.text_col,
+            doc_id_col=args.doc_id_col,  # forwarded (r5 ADVICE: was dropped)
             with_positions=not args.no_positions,
         )
         build_sec = time.time() - t0

@@ -31,7 +31,7 @@ def test_damerau_batch_matches_scalar_property():
                 "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 9)))
                 for _ in range(120)
             ] + ["batch", "bathc", "ca", "abc", ""]
-            got = _damerau_batch(cands, q, chunk=4)
+            got = _damerau_batch(cands, q, target_bytes=1)
             for c, g in zip(cands, got):
                 assert g == _damerau(c, q), (c, q)
                 exp = con.execute(

@@ -1,0 +1,285 @@
+"""Round-6 additions: distributed unscored tail in the no-vocab regime
+(zero full-expansion collects — r5 VERDICT next-1/next-8), fuzzy d=3/4
+parity (next-4), tokenizer fast-path caret guard (r5 ADVICE), gate-window
+rotation regression guard (next-7), and the Damerau chunk-sizing fix."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iresearch_spark.corpus import generate_corpus
+from iresearch_spark.index.segments import IndexStore, build_segment
+from iresearch_spark.search import Fuzzy, Prefix, Range, SearchEngine, Wildcard
+
+
+@pytest.fixture(scope="module")
+def store800(spark, tmp_path_factory):
+    store = IndexStore(str(tmp_path_factory.mktemp("idx6") / "idx"))
+    corpus = generate_corpus(spark, 800, seed=3)
+    build_segment(spark, store, corpus, "s0")
+    return store
+
+
+def _novocab(spark, store) -> SearchEngine:
+    eng = SearchEngine(spark, store)
+    eng.VOCAB_CACHE_MAX = -1  # force the >1M-term (100-TB) regime
+    return eng
+
+
+MULTITERM_NODES = [
+    Prefix("v1", scored_terms_limit=2),
+    Prefix("s", scored_terms_limit=3),
+    Wildcard("*a*n", scored_terms_limit=2),
+    Range(min_term="q", max_term="t", include_max=False, scored_terms_limit=2),
+    Fuzzy("batch", distance=1, max_terms=2),
+    Fuzzy("batch", distance=3, max_terms=3),
+    Fuzzy("bathc", distance=1, transpositions=True, max_terms=2),
+]
+
+
+@pytest.mark.parametrize(
+    "node", MULTITERM_NODES, ids=[repr(n)[:40] for n in MULTITERM_NODES]
+)
+def test_novocab_tail_rank_identity(spark, store800, node):
+    """Vocab-cache-off must produce IDENTICAL hits (docs AND scores) to the
+    vocab-cached engine for every multiterm shape, with the unscored tail
+    flowing to the postings scan as a distributed predicate/semi-join —
+    tail-only docs still surface at score 0 (reference lazy bitset,
+    multiterm_query.cpp:36-71)."""
+    ref = SearchEngine(spark, store800)
+    ref.prepare_dictionary()
+    assert ref._vocab_pairs() is not None, "fixture must fit the vocab cache"
+    eng = _novocab(spark, store800)
+    assert eng._vocab_pairs() is None
+    exp = {(r["gdoc"], r["score"]) for r in ref.execute(node).collect()}
+    got = {(r["gdoc"], r["score"]) for r in eng.execute(node).collect()}
+    assert got == exp
+    kexp = [(r["gdoc"], r["score"]) for r in ref.topk(node, k=20).collect()]
+    kgot = [(r["gdoc"], r["score"]) for r in eng.topk(node, k=20).collect()]
+    assert kgot == kexp
+
+
+def test_novocab_never_collects_expansion(spark, store800, monkeypatch):
+    """The no-vocab regime must NEVER materialize matched terms on the
+    driver beyond the bounded scored head: every DataFrame.collect during
+    expansion AND execution returns <= max(scored limit, k) rows (the r5
+    unbounded `orderBy(..).collect()` pulled EVERY matched term —
+    executor.py:852, r5 VERDICT wrong-1)."""
+    eng = _novocab(spark, store800)
+    sizes: list[int] = []
+    cls = type(eng.term_stats)  # the concrete (classic) DataFrame class
+    orig = cls.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(cls, "collect", spy)
+    node = Prefix("v", scored_terms_limit=2)
+    scored, tail = eng.expand_tiered(node)
+    assert len(scored) == 2
+    assert not isinstance(tail, list), "tail must stay distributed"
+    # the full expansion is much wider than the head
+    n_match = eng.term_stats.where(F.col("term").startswith("v")).count()
+    assert n_match > 10
+    orig(eng.topk(node, k=5))  # exercise the full query path under the spy
+    assert sizes and max(sizes) <= 5, sizes
+    # Damerau path: distributed verify, bounded head collect only
+    sizes.clear()
+    dnode = Fuzzy("bathc", distance=1, transpositions=True, max_terms=2)
+    scored, tail = eng.expand_tiered(dnode)
+    assert isinstance(tail, DataFrame)
+    assert sizes and max(sizes) <= 2, sizes
+
+
+def test_novocab_prefix_pushdown(spark, store800):
+    """The tail predicate must reach the parquet postings scan as a pushed
+    filter (StartsWith) — not a post-scan driver filter."""
+    eng = _novocab(spark, store800)
+    df = eng.execute(Prefix("v1", scored_terms_limit=2))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith(term,v1)" in plan.replace(" ", "").replace("'", ""), plan[:4000]
+
+
+def test_fuzzy_d3_d4_vs_duckdb(spark, store800):
+    """Plain fuzzy at d=3 and d=4 (reference parametric DFA bound,
+    levenshtein_utils.cpp:756): expansion matches exactly DuckDB's
+    levenshtein over the same vocabulary."""
+    eng = SearchEngine(spark, store800)
+    eng.prepare_dictionary()
+    vocab = eng._vocab_pairs()[0]
+    con = duckdb.connect()
+    rng = random.Random(60)
+    queries = ["batch", "ke", "xqzw", rng.choice(vocab)]
+    for d in (3, 4):
+        for q in queries:
+            got = {t for t, _ in eng.expand(Fuzzy(q, distance=d, max_terms=1_000_000))}
+            exp = {
+                t
+                for t in vocab
+                if con.execute("SELECT levenshtein(?, ?)", [t, q]).fetchone()[0] <= d
+            }
+            assert got == exp, (q, d, got ^ exp)
+
+
+def test_damerau_novocab_distributed_verify(spark, store800):
+    """Damerau no-vocab: matches come from the executor-side verify and
+    equal the vocab-path matches for d in (1, 2, 3)."""
+    ref = SearchEngine(spark, store800)
+    ref.prepare_dictionary()
+    eng = _novocab(spark, store800)
+    for d in (1, 2, 3):
+        node = Fuzzy("bathc", distance=d, transpositions=True, max_terms=1_000_000)
+        exp = ref.expand(node)
+        got = sorted(
+            (
+                (r["term"], r["doc_freq"])
+                for r in eng._damerau_matches_df(node).collect()
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )
+        assert got == exp, (d, got, exp)
+
+
+def test_tokenizer_fastpath_caret_guard(spark):
+    """A negated-class delimiter whose content starts with a bare '^'
+    (e.g. '[^^abc]+') must NOT take the findall fast path — the complement
+    class would be negated again, silently inverting tokenization (r5
+    ADVICE medium). '[^^]+' must not crash the build either."""
+    from iresearch_spark.index.build import _make_doc_packer
+    import re
+
+    for delim, text in [
+        ("[^^abc]+", "foo^bar baz abc"),
+        ("[^^]+", "a^b^^c"),
+        ("[^a-z]+", "Plain fast path still works fine"),
+    ]:
+        spec = {
+            "delim": delim,
+            "stop": frozenset(),
+            "lower": True,
+            "stem": False,
+            "accent": False,
+        }
+        fn = _make_doc_packer(spec, "content", 7, with_positions=False)
+        out = list(fn(iter([pd.DataFrame({"doc_id": [1], "content": [text]})])))
+        got_terms = set()
+        for pdf in out:
+            got_terms |= set(pdf.loc[pdf["term"].notna(), "term"])
+        exp = {t for t in re.split(delim, text.lower()) if t}
+        assert got_terms == exp, (delim, got_terms, exp)
+
+
+def test_gate_window_rotation_guard(monkeypatch):
+    """r5 VERDICT next-7: len(queries()) and the per-round first-50 window
+    are pinned so an insertion can't silently displace driver-oracle rows
+    (the r4 failure mode). Both rotation halves must alternate with round
+    parity and partition the pool exactly."""
+    import importlib
+
+    import iresearch_spark.plans.registry as R
+
+    assert len(R.CORE_ENTRIES) == 40
+    assert len(R.ROTATION_POOL_A) == len(R.ROTATION_POOL_B) == 10
+    assert not (set(R.ROTATION_POOL_A) & set(R.ROTATION_POOL_B))
+
+    def window(round_no: int) -> list[str]:
+        monkeypatch.setenv("IRS_GATE_ROUND", str(round_no))
+        reg = R.build_registry()
+        assert len(reg) == 60
+        assert set(reg) == set(R.CORE_ENTRIES) | set(R.ROTATION_POOL_A) | set(
+            R.ROTATION_POOL_B
+        )
+        return list(reg)[:50]
+
+    w6, w7 = window(6), window(7)
+    assert w6 == list(R.CORE_ENTRIES) + list(R.ROTATION_POOL_B)
+    assert w7 == list(R.CORE_ENTRIES) + list(R.ROTATION_POOL_A)
+    # every entry appears in the window at least every other round
+    assert set(w6) | set(w7) == set(R.build_registry())
+    monkeypatch.delenv("IRS_GATE_ROUND")
+    importlib.reload(R)  # restore module-level REGISTRY for other tests
+
+
+def test_build_sliced_one_pass_staging(spark, tmp_path_factory, monkeypatch):
+    """r5 VERDICT next-3: build_sliced must not scan the source K times.
+    With staging on (default), the source is read ONCE into a
+    slice-partitioned intermediate and every per-slice build reads ONLY its
+    own partition directory (partition-pruned), then the stage is cleaned
+    up after the last commit."""
+    import iresearch_spark.index.segments as segmod
+
+    corpus = generate_corpus(spark, 200, seed=61).persist()
+    st = IndexStore(str(tmp_path_factory.mktemp("stage6")))
+    real_build = segmod.build_segment
+    seen_plans: list[str] = []
+
+    def recording(spark_, store_, docs_, name, **kw):
+        seen_plans.append(docs_._jdf.queryExecution().executedPlan().toString())
+        return real_build(spark_, store_, docs_, name, **kw)
+
+    monkeypatch.setattr(segmod, "build_segment", recording)
+    segmod.build_sliced(spark, st, corpus, 3, prefix="sl")
+    corpus.unpersist()
+    assert len(seen_plans) == 3
+    for i, plan in enumerate(seen_plans):
+        flat = plan.replace(" ", "")
+        assert "_stage_sl" in plan, plan[:500]
+        # the slice filter lands in PartitionFilters (directory pruning),
+        # never a post-scan row filter
+        assert "PartitionFilters" in plan and f"={i})" in flat, (i, plan[:1500])
+    # stage removed after the last slice committed
+    import os
+
+    assert not os.path.exists(os.path.join(st.root, "_stage_sl"))
+    # spec recorded; mismatched re-invocation must raise, matching resumes
+    assert os.path.exists(os.path.join(st.root, "slicespec-sl.json"))
+    with pytest.raises(ValueError, match="slice spec mismatch"):
+        segmod.build_sliced(spark, st, corpus, 5, prefix="sl")
+    with pytest.raises(ValueError, match="slice spec mismatch"):
+        segmod.build_sliced(spark, st, corpus, 3, prefix="sl", key_cols=["repo"])
+    metas = segmod.build_sliced(spark, st, corpus, 3, prefix="sl")
+    assert [m.name for m in metas] == [f"sl{i:05d}" for i in range(3)]
+
+
+def test_nearest_labels_zero_norm_guard(spark):
+    """Zero-norm embeddings/centroids yield NULL cosine (not NaN) so they
+    rank LAST under the desc window — matching the SQL oracle's
+    div-by-zero null (r5 ADVICE)."""
+    from iresearch_spark.functions.similarity import nearest_labels
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    labs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])], "label long, embedding array<double>"
+    )
+    rows = {
+        (r["id"], r["label"]): (r["cosine"], r["rank"])
+        for r in nearest_labels(emb, labs, k=2).collect()
+    }
+    assert rows[(1, 10)][0] == pytest.approx(1.0) and rows[(1, 10)][1] == 1
+    assert rows[(1, 11)][0] is None and rows[(1, 11)][1] == 2  # null ranks last
+    assert rows[(2, 10)][0] is None and rows[(2, 11)][0] is None
+
+
+def test_damerau_batch_chunk_bounded():
+    """Chunk size derives from the DP area (r5 ADVICE): long strings give
+    small chunks, results unchanged."""
+    from iresearch_spark.search.executor import _damerau, _damerau_batch
+
+    rng = random.Random(6)
+    long_cands = [
+        "".join(rng.choice("abcdef") for _ in range(30)) for _ in range(50)
+    ]
+    q = "abcdefabcdefabcdefabcdefabcdef"
+    got = _damerau_batch(long_cands, q, target_bytes=100_000)
+    for c, g in zip(long_cands, got):
+        assert g == _damerau(c, q)
