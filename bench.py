@@ -15,6 +15,10 @@ Phases:
      (tokenize+score end-to-end, no prebuilt index).
   4. big corpus (600k bursty docs): build + wand-vs-nowand + expansion /
      fuzzy / phrase categories, min-of-3; kernel-granularity wand pins.
+  5. dedup/ANN scale tier (r6): minhash-LSH + simhash near-dup over the
+     600k corpus and embedding near-dup over 100k deterministic vectors,
+     min-of-3, with an executed-plan assert that no all-pairs stage
+     (CartesianProduct / NestedLoop join) appears.
 All phases record hypervisor steal%% deltas (/proc/stat) in the JSON.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -364,6 +368,81 @@ def main() -> None:
             big_meta[f"{kname}_blocks"] = int(len(bpdf))
         steal["big"] = _steal_pct(cpu_b, _cpu_times())
         shutil.rmtree(broot, ignore_errors=True)
+
+        # ---- phase 5 (r6): dedup / ANN at the scale tier ----------------
+        # The LLM-pipeline operators were only ever TIMED at gate scale
+        # (~500-5k rows; r5 VERDICT next-5). These rows run the bucketed /
+        # banded plans at the same 600k-doc / 100k-embedding scale as the
+        # search tier, min-of-N with steal%, and ASSERT no all-pairs stage
+        # appears in any measured plan.
+        reps = int(os.environ.get("IR_BENCH_DEDUP_REPS", "3"))
+        n_emb = int(os.environ.get("IR_BENCH_EMB", "100000"))
+        from iresearch_spark.functions.dedup import (
+            minhash_lsh_pairs,
+            simhash_pairs,
+        )
+        from iresearch_spark.functions.similarity import embedding_neardup_pairs
+        from iresearch_spark.index.build import assign_doc_ids
+
+        cpu_d = _cpu_times()
+        dcorpus = assign_doc_ids(bcorpus, ["repo", "path", "commit"]).persist()
+        dcorpus.count()
+
+        def _no_all_pairs(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
+                "all-pairs stage in a dedup/ANN plan"
+            )
+
+        mh = lambda: minhash_lsh_pairs(dcorpus, text_col="content")  # noqa: E731
+        sh = lambda: simhash_pairs(dcorpus, text_col="content")  # noqa: E731
+        _no_all_pairs(mh())
+        _no_all_pairs(sh())
+        queries["BigMinhashLSH"] = round(_min_of(reps, lambda: mh().count()), 3)
+        queries["BigSimhash"] = round(_min_of(reps, lambda: sh().count()), 3)
+        big_meta["dedup_docs"] = dcorpus.count()
+        dcorpus.unpersist()
+        bcorpus.unpersist()
+
+        # deterministic embeddings: two copies of n_emb/2 seeded gaussian
+        # bases, the second with 1% noise, so near-dup pairs exist and the
+        # LSH bucket recall is exercised (no external data; Philox rng
+        # keyed by vec_id keeps rows deterministic under any partitioning)
+        import numpy as np
+        import pandas as pd
+
+        half = n_emb // 2
+
+        def _gen_emb(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                out = []
+                for i in ids:
+                    rng = np.random.default_rng(int(i) % half)
+                    v = rng.standard_normal(64)
+                    if i >= half:
+                        v = v + (
+                            np.random.default_rng(10_000_000 + int(i)).standard_normal(64)
+                            * 0.01
+                        )
+                    out.append(v.tolist())
+                yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+        emb = (
+            spark.range(n_emb)
+            .repartition(cpus)
+            .mapInPandas(_gen_emb, "vec_id long, embedding array<double>")
+            .persist()
+        )
+        emb.count()
+        nd = lambda: embedding_neardup_pairs(  # noqa: E731
+            emb, 64, threshold=0.99, n_planes=12, multiprobe_bits=1
+        )
+        _no_all_pairs(nd())
+        queries["BigEmbNeardup"] = round(_min_of(reps, lambda: nd().count()), 3)
+        big_meta["emb_rows"] = n_emb
+        emb.unpersist()
+        steal["dedup"] = _steal_pct(cpu_d, _cpu_times())
 
     total = time.time() - t_all
     out = {

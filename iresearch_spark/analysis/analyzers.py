@@ -239,8 +239,8 @@ _SEG_TOKENIZERS: dict = {}
 _SEG_WORD = r"[\p{L}\p{M}\p{N}\p{Pc}]+(?:['’.][\p{L}\p{M}\p{N}\p{Pc}]+)*"
 
 
-def _seg_tokenizer(case: str):
-    key = case
+def _seg_tokenizer(case: str, cjk: str = "keep", dictionary: tuple[str, ...] = ()):
+    key = (case, cjk, dictionary)
     if key not in _SEG_TOKENIZERS:
         import regex as _rx
 
@@ -248,6 +248,46 @@ def _seg_tokenizer(case: str):
         from pyspark.sql.types import ArrayType, StringType
 
         pat = _rx.compile(_SEG_WORD)
+        # the scripts ICU word-breaks by dictionary rather than by spaces
+        cjk_run = _rx.compile(r"[\p{Han}\p{Hiragana}\p{Katakana}]+")
+        dwords = frozenset(w for w in dictionary if len(w) > 1)
+        maxlen = max((len(w) for w in dwords), default=1)
+
+        def _break_run(run: str) -> list[str]:
+            if cjk == "unigram":
+                return list(run)
+            # greedy forward maximum-matching (the classic public MMSEG /
+            # jieba-DAG family baseline); unmatched chars fall back to
+            # unigrams, so recall never drops below the unigram mode
+            out, i, n = [], 0, len(run)
+            while i < n:
+                for L in range(min(maxlen, n - i), 1, -1):
+                    if run[i : i + L] in dwords:
+                        out.append(run[i : i + L])
+                        i += L
+                        break
+                else:
+                    out.append(run[i])
+                    i += 1
+            return out
+
+        def _post(tokens: list[str]) -> list[str]:
+            out = []
+            for t in tokens:
+                if not cjk_run.search(t):
+                    out.append(t)
+                    continue
+                # split the token into CJK runs and non-CJK remainder,
+                # breaking only the runs
+                pos = 0
+                for m in cjk_run.finditer(t):
+                    if m.start() > pos:
+                        out.append(t[pos : m.start()])
+                    out.extend(_break_run(m.group()))
+                    pos = m.end()
+                if pos < len(t):
+                    out.append(t[pos:])
+            return out
 
         @pandas_udf(ArrayType(StringType()))
         def tok(s: pd.Series) -> pd.Series:
@@ -255,7 +295,11 @@ def _seg_tokenizer(case: str):
                 s = s.str.lower()
             elif case == "upper":
                 s = s.str.upper()
-            return s.map(lambda x: pat.findall(x) if isinstance(x, str) else None)
+            if cjk == "keep":
+                return s.map(lambda x: pat.findall(x) if isinstance(x, str) else None)
+            return s.map(
+                lambda x: _post(pat.findall(x)) if isinstance(x, str) else None
+            )
 
         _SEG_TOKENIZERS[key] = tok
     return _SEG_TOKENIZERS[key]
@@ -273,16 +317,27 @@ class SegmentationAnalyzer(Analyzer):
     \\p{L}\\p{M}\\p{N}\\p{Pc} with MidLetter/MidNumLet characters
     (' ’ .) retained between word characters. Matches ICU on
     space-delimited scripts including full Unicode (non-Latin letters
-    tokenize instead of vanishing, unlike the ASCII delimiter class);
-    known divergence: CJK runs stay whole (ICU segments them with a
-    dictionary) — documented in COVERAGE.md."""
+    tokenize instead of vanishing, unlike the ASCII delimiter class).
+
+    CJK (Han/Hiragana/Katakana — the scripts ICU breaks by DICTIONARY,
+    segmentation_token_stream.cpp:376) is handled by the `cjk` option (r6):
+    - "keep" (default): the run stays one token — pinned divergence from
+      ICU, recorded in COVERAGE.md with a failing example.
+    - "unigram": one token per CJK codepoint (Lucene StandardTokenizer's
+      ideograph behavior; what ICU itself does for out-of-dictionary runs).
+    - "dict": greedy forward maximum-matching over the caller-supplied
+      `dictionary` (public MMSEG-family baseline), unmatched chars fall
+      back to unigrams. ICU's frequency-DP tie-breaks differ on ambiguous
+      overlaps; shipping its ~5 MB frequency dictionary is out of scope."""
 
     case: str = "lower"  # "lower" | "upper" | "none" (options.case)
     stopwords: tuple[str, ...] = ()
+    cjk: str = "keep"  # "keep" | "unigram" | "dict"
+    dictionary: tuple[str, ...] = ()
     name: str = field(default="segmentation", init=False)  # type: ignore[assignment]
 
     def raw_tokens(self, col: Column) -> Column:
-        return _seg_tokenizer(self.case)(col)
+        return _seg_tokenizer(self.case, self.cjk, self.dictionary)(col)
 
     def keep(self, term: Column) -> Column:
         if not self.stopwords:

@@ -270,6 +270,40 @@ def test_nearest_labels_zero_norm_guard(spark):
     assert rows[(2, 10)][0] is None and rows[(2, 11)][0] is None
 
 
+def test_segmentation_cjk_modes(spark):
+    """r5 VERDICT next-6: the CJK word-break gap is now an explicit,
+    tested option. Default "keep" pins the documented ICU divergence (the
+    run stays whole); "unigram" breaks per codepoint; "dict" greedy
+    longest-match with unigram fallback."""
+    from iresearch_spark.analysis.analyzers import SegmentationAnalyzer
+
+    text = "Spark 中文分词 test"
+    df = spark.createDataFrame([(text,)], "t string")
+
+    def toks(an):
+        return df.select(an.tokens(F.col("t")).alias("x")).collect()[0]["x"]
+
+    # pinned divergence example (ICU with its dictionary would yield
+    # 中文 / 分词): the default keeps the run whole
+    assert toks(SegmentationAnalyzer()) == ["spark", "中文分词", "test"]
+    assert toks(SegmentationAnalyzer(cjk="unigram")) == [
+        "spark", "中", "文", "分", "词", "test",
+    ]
+    assert toks(
+        SegmentationAnalyzer(cjk="dict", dictionary=("中文", "分词"))
+    ) == ["spark", "中文", "分词", "test"]
+    # unmatched chars fall back to unigrams; longest match wins
+    assert toks(
+        SegmentationAnalyzer(cjk="dict", dictionary=("中文", "中文分词"))
+    ) == ["spark", "中文分词", "test"]
+    # mixed Latin+CJK inside one UAX#29 run splits at the script boundary
+    df2 = spark.createDataFrame([("abc中文def",)], "t string")
+    an = SegmentationAnalyzer(cjk="dict", dictionary=("中文",))
+    assert df2.select(an.tokens(F.col("t")).alias("x")).collect()[0]["x"] == [
+        "abc", "中文", "def",
+    ]
+
+
 def test_damerau_batch_chunk_bounded():
     """Chunk size derives from the DP area (r5 ADVICE): long strings give
     small chunks, results unchanged."""
