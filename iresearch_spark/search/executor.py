@@ -177,6 +177,60 @@ def _damerau(a: str, b: str) -> int:
     return d[la + 1][lb + 1]
 
 
+def _lev_batch(cands: list[str], b: str, target_bytes: int = 128 << 20) -> np.ndarray:
+    """Vectorized STANDARD Levenshtein of many candidates against one
+    query (r6): the classic two-row DP batched along the candidate axis in
+    numpy, length-grouped like `_damerau_batch`. Lets the vocab-cached
+    engine expand plain `by_edit_distance` leaves driver-locally with ZERO
+    Spark jobs (the reference walks its parametric DFA over the mmap'd FST
+    the same way, levenshtein_filter.cpp:283) — semantics identical to the
+    SQL path's JVM `levenshtein`."""
+    n = len(cands)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    b_arr = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    lb = int(b_arr.size)
+    lens = np.fromiter((len(c) for c in cands), dtype=np.int64, count=n)
+    if lb == 0:
+        out[:] = lens
+        return out
+    for la in np.unique(lens):
+        la = int(la)
+        grp = np.flatnonzero(lens == la)
+        if la == 0:
+            out[grp] = lb
+            continue
+        # two DP rows of (m, lb+1) each — size the chunk from their area
+        chunk = max(1, target_bytes // ((lb + 1) * 8 * 3))
+        for c0 in range(0, grp.size, chunk):
+            idx = grp[c0 : c0 + chunk]
+            m = idx.size
+            amat = (
+                np.frombuffer(
+                    "".join(cands[i] for i in idx).encode("utf-32-le"),
+                    dtype=np.uint32,
+                )
+                .astype(np.int64)
+                .reshape(m, la)
+            )
+            prev = np.broadcast_to(
+                np.arange(lb + 1, dtype=np.int64), (m, lb + 1)
+            ).copy()
+            cur = np.empty((m, lb + 1), dtype=np.int64)
+            for i in range(1, la + 1):
+                cur[:, 0] = i
+                ai = amat[:, i - 1]
+                for j in range(1, lb + 1):
+                    v = prev[:, j - 1] + (ai != b_arr[j - 1])
+                    np.minimum(v, prev[:, j] + 1, out=v)
+                    np.minimum(v, cur[:, j - 1] + 1, out=v)
+                    cur[:, j] = v
+                prev, cur = cur, prev
+            out[idx] = prev[:, lb]
+    return out
+
+
 def _damerau_batch(
     cands: list[str], b: str, target_bytes: int = 128 << 20
 ) -> np.ndarray:
@@ -741,11 +795,27 @@ class SearchEngine:
         terms + bisect for prefix/range, compiled regex for wildcard) —
         zero Spark jobs. None -> caller falls back to the SQL path."""
         vocab = self._vocab_pairs()
-        if vocab is None or isinstance(leaf, Fuzzy):
+        if vocab is None or (isinstance(leaf, Fuzzy) and leaf.transpositions):
+            # Damerau routes through _fuzzy_damerau_pairs (callers check
+            # transpositions BEFORE _vocab_matches)
             return None
         import bisect
 
         vt, vd = vocab
+        if isinstance(leaf, Fuzzy):
+            # plain by_edit_distance (r6): length band + batched two-row
+            # numpy DP over the cached dictionary — zero Spark jobs (the
+            # r2-r5 comment "JVM levenshtein beats a Python loop" predates
+            # the vectorized batch; measured, the driver DP now wins by
+            # skipping the whole expansion job)
+            band = np.flatnonzero(
+                np.abs(self._vocab_lens - len(leaf.term)) <= leaf.distance
+            )
+            cands = [vt[i] for i in band]
+            dist = _lev_batch(cands, leaf.term)
+            return [
+                (vt[i], vd[i]) for i, dd in zip(band, dist) if dd <= leaf.distance
+            ]
         if isinstance(leaf, (Term, Terms)):
             wanted = [leaf.term] if isinstance(leaf, Term) else list(leaf.terms)
             stats = self._stats_for(wanted)
@@ -804,14 +874,15 @@ class SearchEngine:
         Top `scored_terms_limit` terms by (doc_freq desc, term asc) — the
         top_terms_collector analogue (core/search/top_terms_collector.hpp).
         """
+        if isinstance(leaf, Fuzzy) and leaf.transpositions:
+            return self._fuzzy_damerau_pairs(leaf)[: leaf.max_terms]
         local = self._vocab_matches(leaf)
         if local is not None:
             if isinstance(leaf, (Term, Terms)):
                 return local
             local.sort(key=lambda p: (-p[1], p[0]))
-            return local[: leaf.scored_terms_limit]
-        if isinstance(leaf, Fuzzy) and leaf.transpositions:
-            return self._fuzzy_damerau_pairs(leaf)[: leaf.max_terms]
+            limit = leaf.max_terms if isinstance(leaf, Fuzzy) else leaf.scored_terms_limit
+            return local[:limit]
         df, limit = self._leaf_term_matches(leaf)
         return self._collect_expansion(df, limit)
 

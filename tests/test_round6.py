@@ -304,6 +304,25 @@ def test_segmentation_cjk_modes(spark):
     ]
 
 
+def test_lev_batch_vs_duckdb():
+    """_lev_batch (the r6 driver-local plain-fuzzy expansion DP) must equal
+    DuckDB's levenshtein on random strings including empty/long shapes."""
+    from iresearch_spark.search.executor import _lev_batch
+
+    con = duckdb.connect()
+    rng = random.Random(66)
+    alpha = "abcde"
+    for q in ["batch", "", "ab", "abcdeabcde"]:
+        cands = [
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+            for _ in range(200)
+        ] + ["batch", "bathc", "", q]
+        got = _lev_batch(cands, q, target_bytes=1)  # force tiny chunks too
+        for c, g in zip(cands, got):
+            exp = con.execute("SELECT levenshtein(?, ?)", [c, q]).fetchone()[0]
+            assert g == exp, (c, q, g, exp)
+
+
 def test_damerau_batch_chunk_bounded():
     """Chunk size derives from the DP area (r5 ADVICE): long strings give
     small chunks, results unchanged."""
