@@ -1,7 +1,9 @@
 from iresearch_spark.functions.dedup import (  # noqa: F401
+    connected_components,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,

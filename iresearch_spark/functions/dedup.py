@@ -473,3 +473,114 @@ def ngram_jaccard_pairs(
             getattr(candidates, "_ir_cached_input", None),
         ]
     return out
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by hash-min label propagation: every vertex
+    converges to the MINIMUM vertex id reachable from it. Returns
+    DataFrame(id_col, cluster_id).
+
+    `edges` needs columns (src, dst) (undirected — both directions are
+    added here); `vertices` one `id_col` column (isolated vertices keep
+    their own id as cluster_id).
+
+    Scale shape: each iteration is one join (labels -> neighbor messages)
+    plus one min-aggregate, both shuffling on vertex id — no collect, no
+    driver state. Iteration count is O(component diameter); near-dup
+    clusters are dense (diameter 2-3 typical), so this converges in a
+    handful of rounds where a path-graph worst case would need
+    large-star/small-star [Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14]. Lineage is cut per round with
+    localCheckpoint so the plan doesn't deepen; convergence is detected by
+    an exact changed-label count.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("src"),
+                F.col("src").cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = e.join(
+            labels.select(F.col("id").alias("src"), "cluster_id"), "src"
+        ).select(F.col("dst").alias("id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    e.unpersist()
+    return labels.withColumnRenamed("id", id_col)
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 2,
+    lsh_threshold: float = 0.5,
+    verify_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS — the pipeline stage after pair generation:
+    MinHash-LSH candidates -> exact n-gram-Jaccard verify -> connected
+    components -> per-doc cluster assignment with a deterministic
+    representative. Returns DataFrame(id_col, cluster_id, cluster_size,
+    keep) where cluster_id = min doc id of the component and keep marks
+    the representative (the row a dedup pipeline retains; every other row
+    in a multi-doc cluster is dropped).
+
+    This is what an LLM-training dedup pass actually consumes: pairs alone
+    don't say which docs to drop when near-dups chain (A~B, B~C but A!~C
+    — one cluster {A,B,C}, keep min). All stages are bucketed/banded
+    joins + label propagation; nothing is all-pairs.
+    """
+    cands = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, shingle=shingle, threshold=lsh_threshold
+    )
+    verified = ngram_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=shingle,
+        threshold=verify_threshold,
+        candidates=cands,
+    )
+    cc = connected_components(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        df.select(id_col),
+        id_col=id_col,
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

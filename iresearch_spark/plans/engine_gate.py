@@ -139,6 +139,22 @@ def _as_gate_topk(df: DataFrame) -> DataFrame:
     return df.select(F.col("gdoc").alias("doc_id"), F.col("score"))
 
 
+def batch_topk_fn(named_factories: dict, limit: int = 10):
+    """Registry callable for SearchEngine.topk_batch (r6): a whole batch
+    of queries through ONE shared postings scan, returning
+    (query, doc_id, score) — each query's rows must equal its individual
+    topk exactly (oracle: parity.batch_union_sql)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = gate_engine(spark, sf_dir)
+        nodes = {name: f() for name, f in named_factories.items()}
+        return eng.topk_batch(nodes, limit).select(
+            "query", F.col("gdoc").alias("doc_id"), "score"
+        )
+
+    return run
+
+
 def topk_fn(node_factory, limit: int = 10, scorer: str = "bm25", **scorer_kw):
     """Registry callable: (spark, sf_dir) -> DataFrame(doc_id, score) via
     the packed engine. `node_factory()` builds the filter tree; scorer_kw

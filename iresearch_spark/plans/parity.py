@@ -829,3 +829,60 @@ SELECT did AS vec_id, lid AS label,
        CAST(floor(c * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS cosine
 FROM ranked WHERE rn <= {k}
 ORDER BY vec_id, label"""
+
+
+def neardup_clusters_sql(d: str, threshold: float = 0.8) -> str:
+    """Near-dup CLUSTER oracle: exact all-pairs bigram Jaccard >= threshold
+    (same pair semantics as raw_bigram_jaccard_sql) closed transitively by
+    a recursive min-label CTE — each doc's cluster_id is the minimum doc_id
+    reachable through the pair graph, the representative is the min, and
+    cluster_size counts members. Independent of the engine's LSH + label
+    propagation, so equality proves candidate recall AND the component
+    closure at once."""
+    ctes = tok_ctes(d).replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{ctes},
+big AS (
+  SELECT DISTINCT t0.doc_id AS doc_id, t0.term || ' ' || t1.term AS bg
+  FROM tokall t0 JOIN tokall t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+),
+bsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN bsizes sa ON id_a = sa.doc_id
+  JOIN bsizes sb ON id_b = sb.doc_id
+  WHERE i * 1e0 / (sa.n + sb.n - i) >= {threshold}e0
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY cluster_id)
+SELECT cc.doc_id, cc.cluster_id, csz.cluster_size,
+       cc.doc_id = cc.cluster_id AS keep
+FROM cc JOIN csz USING (cluster_id)
+ORDER BY cc.doc_id"""
+
+
+def batch_union_sql(named: dict[str, str]) -> str:
+    """Oracle for SearchEngine.topk_batch: the per-query oracles labeled
+    and UNION ALL'd — the batch path must reproduce each query's
+    individual top-k exactly, just tagged."""
+    parts = [
+        f"SELECT '{name}' AS query, q.* FROM (\n{sql}\n) q"
+        for name, sql in named.items()
+    ]
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY query, score DESC, doc_id"
+    )

@@ -561,6 +561,53 @@ def build_registry() -> dict[str, dict]:
         )
 
     r["classify_labels"] = {"fn": _classify, "duck": P.classify_labels_sql(P.DUCK)}
+    # --- r6: batched multi-query execution — four boolean/min-match
+    # shapes through ONE shared postings scan (SearchEngine.topk_batch);
+    # the oracle is each query's individual oracle UNION ALL'd, so hash
+    # equality proves the batch path reproduces per-query top-k exactly
+    r["batch_topk4"] = {
+        "fn": G.batch_topk_fn(
+            {
+                "term_high": lambda: Term(HIGH),
+                "and_high_med": lambda: And((Term(HIGH), Term(MED))),
+                "or4": lambda: Or(
+                    (Term(HIGH), Term(MED), Term("spark"), Term("window"))
+                ),
+                "mm2of3": lambda: Or(
+                    (Term(HIGH), Term(MED), Term(LOW)), min_match=2
+                ),
+            }
+        ),
+        "duck": P.batch_union_sql(
+            {
+                "term_high": P.bm25_topk(P.DUCK, terms=[HIGH]),
+                "and_high_med": P.bm25_topk(
+                    P.DUCK, terms=[HIGH, MED], require_all=True
+                ),
+                "or4": P.bm25_topk(
+                    P.DUCK, terms=[HIGH, MED, "spark", "window"]
+                ),
+                "mm2of3": P.bm25_topk(
+                    P.DUCK, terms=[HIGH, MED, LOW], min_match=2
+                ),
+            }
+        ),
+    }
+
+    # --- r6: near-dup CLUSTERS — LSH pairs closed into connected
+    # components (hash-min label propagation) with a deterministic
+    # representative; the oracle recomputes all-pairs exact Jaccard and
+    # closes it with a recursive min-label CTE
+    def _neardup_clusters(spark, sf_dir):
+        from iresearch_spark.functions.dedup import neardup_clusters
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return neardup_clusters(docs).orderBy("doc_id")
+
+    r["neardup_clusters"] = {
+        "fn": _neardup_clusters,
+        "duck": P.neardup_clusters_sql(P.DUCK),
+    }
     # --- driver-window ROTATION (r5 VERDICT next-2): the driver emits
     # only the first ~50 insertion-ordered entries per round, so a fixed
     # ordering would leave the same 10 entries permanently outside the
@@ -579,11 +626,14 @@ def build_registry() -> dict[str, dict]:
     return ordered
 
 
-# always in the driver window (first 40 slots)
+# always in the driver window (first 38 slots). r6 moved the redundant
+# and_high_low / or_high_low permutations (same shapes as *_high_med)
+# into the rotation pools to make window room for the two new r6 entries
+# while keeping the window at exactly 50.
 CORE_ENTRIES = (
     "doclen", "term_stats", "field_stats",
     "term_high", "term_med", "term_low",
-    "and_high_med", "and_high_low", "or_high_med", "or_high_low",
+    "and_high_med", "or_high_med",
     "terms_boosted", "min_match_2of3", "min_match_2of4",
     "not_high_minus_med", "term_high_deleted", "or_deleted",
     "prefix_s", "wildcard", "prefix_tiered_tail", "range_q_t",
@@ -594,20 +644,22 @@ CORE_ENTRIES = (
     "bm25_legacy_high", "column_existence", "ngram_similarity",
     "ngram_similarity_longest", "dedup_exact", "token_quality", "langid",
 )
-# rotation half A: LLM-pipeline tier (in-window on ODD rounds)
+# rotation half A: LLM-pipeline tier + displaced boolean permutations
+# (in-window on ODD rounds)
 ROTATION_POOL_A = (
     "ngram_jaccard_pairs", "fingerprint", "quality_stats",
     "embedding_topk", "ann_ivf_full_topk", "event_window_stats",
     "minhash_lsh_pairs", "simhash_pairs", "embedding_neardup_pairs",
-    "ann_lsh_topk",
+    "ann_lsh_topk", "and_high_low", "or_high_low",
 )
 # rotation half B: scorer-variant / boolean-permutation / r5-r6 additions
-# (in-window on EVEN rounds — r6 puts the nine r5-displaced entries plus
-# the new fuzzy3_batch under the driver oracle, per r5 VERDICT next-2)
+# (in-window on EVEN rounds — r6 puts the nine r5-displaced entries, the
+# new fuzzy3_batch, and the two NEW r6 operators — batched multi-query
+# execution and near-dup clustering — under the driver oracle)
 ROTATION_POOL_B = (
     "or4", "or6", "terms_kmax", "or_kmax_high_med", "or_kmin_high_med",
     "bm15_high_med", "bm11_high_med", "bm1_high", "classify_labels",
-    "fuzzy3_batch",
+    "fuzzy3_batch", "batch_topk4", "neardup_clusters",
 )
 
 

@@ -186,14 +186,14 @@ def test_gate_window_rotation_guard(monkeypatch):
 
     import iresearch_spark.plans.registry as R
 
-    assert len(R.CORE_ENTRIES) == 40
-    assert len(R.ROTATION_POOL_A) == len(R.ROTATION_POOL_B) == 10
+    assert len(R.CORE_ENTRIES) == 38
+    assert len(R.ROTATION_POOL_A) == len(R.ROTATION_POOL_B) == 12
     assert not (set(R.ROTATION_POOL_A) & set(R.ROTATION_POOL_B))
 
     def window(round_no: int) -> list[str]:
         monkeypatch.setenv("IRS_GATE_ROUND", str(round_no))
         reg = R.build_registry()
-        assert len(reg) == 60
+        assert len(reg) == 62
         assert set(reg) == set(R.CORE_ENTRIES) | set(R.ROTATION_POOL_A) | set(
             R.ROTATION_POOL_B
         )
@@ -336,3 +336,116 @@ def test_damerau_batch_chunk_bounded():
     got = _damerau_batch(long_cands, q, target_bytes=100_000)
     for c, g in zip(long_cands, got):
         assert g == _damerau(c, q)
+
+
+# --------------------------------------------------------------------------
+# r6: batched multi-query execution + near-dup clustering
+# --------------------------------------------------------------------------
+
+
+def test_connected_components(spark):
+    """Hash-min label propagation: chains (diameter > 1), merged
+    components, isolated vertices, and convergence detection."""
+    from iresearch_spark.functions.dedup import connected_components
+
+    # 1-2-3-4 chain, {6,7} pair, 5 isolated, plus a bridge 4-6 making
+    # {1..4,6,7} one component
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (6, 7), (4, 6)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 1, 7: 1}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, verts, max_iter=1)
+
+
+def test_neardup_clusters_duck_parity(spark):
+    """Rotation-pool twin for the `neardup_clusters` gate entry (LSH pairs
+    -> exact verify -> connected components) vs the recursive-CTE DuckDB
+    oracle at the driver's sf."""
+    import os
+
+    from iresearch_spark.plans.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_PARITY_DIR", "/root/testdata/sf0.01")
+    ent = REGISTRY["neardup_clusters"]
+    got = [tuple(r) for r in ent["fn"](spark, sf).collect()]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        exp = [tuple(r) for r in con.execute(ent["duck"]).fetchall()]
+    finally:
+        con.close()
+    assert got == exp
+    # sanity: the fixture corpus actually contains multi-doc clusters
+    assert any(r[2] > 1 for r in got)
+
+
+def test_batch_topk4_duck_parity(spark):
+    """Rotation-pool twin for the `batch_topk4` gate entry: the batched
+    shared-scan path vs each query's individual oracle UNION ALL'd."""
+    import os
+
+    from iresearch_spark.plans.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_PARITY_DIR", "/root/testdata/sf0.01")
+    ent = REGISTRY["batch_topk4"]
+    got = sorted(
+        (r["query"], r["doc_id"], round(r["score"], 6))
+        for r in ent["fn"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        exp = sorted(
+            (q, d, round(s, 6)) for q, d, s in con.execute(ent["duck"]).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == exp
+
+
+def test_topk_batch_matches_individual(spark, store800):
+    """topk_batch must reproduce topk(node, k) row-for-row for every query
+    in the batch — across term/boolean/min-match/multiterm/fuzzy shapes on
+    the shared-scan path AND fallback shapes (phrase), with an
+    absent-term query contributing zero rows. Also pinned in the no-vocab
+    regime (expansion predicates instead of cached dictionaries)."""
+    from iresearch_spark.search import And, Or, Phrase, Term, Terms
+
+    batch = {
+        "term": Term("batch"),
+        "and2": And((Term("batch"), Term("key"))),
+        "or_kmax": Or((Term("batch"), Term("key")), merge="max"),
+        "or_kmin": Or((Term("batch"), Term("key")), merge="min"),
+        "mm2of3": Or((Term("batch"), Term("key"), Term("dup")), min_match=2),
+        "terms_boost": Terms(("batch", "key"), boosts=(2.0, 0.5)),
+        "prefix": Prefix("s", scored_terms_limit=3),
+        "wild": Wildcard("*a*n", scored_terms_limit=2),
+        "fuzzy": Fuzzy("batch", distance=1, max_terms=1000),
+        "phrase": Phrase(("key", "order")),  # fallback (positional kernel)
+        "absent": Term("zzz_not_a_term"),
+    }
+    for engine_fn in (lambda: SearchEngine(spark, store800),):
+        eng = engine_fn()
+        eng.prepare_dictionary()
+        got = sorted(
+            (r["query"], r["gdoc"], round(r["score"], 5))
+            for r in eng.topk_batch(batch, 10).collect()
+        )
+        exp = []
+        for name, node in batch.items():
+            exp += [
+                (name, r["gdoc"], round(r["score"], 5))
+                for r in eng.topk(node, 10).collect()
+            ]
+        assert got == sorted(exp)
+        assert not any(q == "absent" for q, _, _ in got)
