@@ -202,6 +202,14 @@ def main() -> None:
     with ThreadPoolExecutor(max_workers=4) as pool:
         list(pool.map(lambda nd: eng.topk(nd, 10).collect(), jobs))
     queries["query_qps_4way"] = round(len(jobs) / (time.time() - t0), 2)
+    # batched execution (r6): the SAME 24-query workload through ONE
+    # shared postings scan (topk_batch) — the serving-tier posture where
+    # the scan is amortized across the batch instead of re-run per query
+    batch = {
+        f"{name}#{i}": node for i in range(2) for name, node in cases.items()
+    }
+    t_batch = _min_of(3, lambda: eng.topk_batch(batch, 10).collect())
+    queries["query_qps_batched24"] = round(len(batch) / t_batch, 2)
     # WAND pruning gain: same queries with block-max skipping disabled
     for name, node in (("HighTerm", Term(high)), ("OrHighMed", Or((Term(high), Term(med))))):
         queries[f"{name}_nowand"] = round(
@@ -366,6 +374,30 @@ def main() -> None:
             queries[kname] = round(min(tms[True]), 4)
             queries[f"{kname}_nowand"] = round(min(tms[False]), 4)
             big_meta[f"{kname}_blocks"] = int(len(bpdf))
+        # batched vs 4-thread-concurrent at the BIG tier (r6): at 600k docs
+        # the postings scan is real work, so sharing it across the batch is
+        # the 100-TB serving argument, not just job-overhead amortization
+        big_cases = {
+            "mt": Term(bmed), "ht": Term(bhigh),
+            "and": And((Term(bhigh), Term(bmed))),
+            "or": Or((Term(bhigh), Term(bmed))),
+            "pre": Prefix(bmed[:3] if len(bmed) >= 3 else bmed),
+            "wild": Wildcard(f"{bmed[:2]}*" if len(bmed) >= 2 else f"{bmed}*"),
+            "fz": Fuzzy(bhigh, distance=1),
+            "ph": Phrase(("call", "x")),
+        }
+        bbatch = {
+            f"{nm}#{i}": nd for i in range(3) for nm, nd in big_cases.items()
+        }
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        bjobs = [nd for nd in big_cases.values() for _ in range(3)]
+        t0 = time.time()
+        with _TPE(max_workers=4) as pool:
+            list(pool.map(lambda nd: beng.topk(nd, 10).collect(), bjobs))
+        queries["big_qps_4way"] = round(len(bjobs) / (time.time() - t0), 2)
+        t_bb = _min_of(2, lambda: beng.topk_batch(bbatch, 10).collect())
+        queries["big_qps_batched24"] = round(len(bbatch) / t_bb, 2)
         steal["big"] = _steal_pct(cpu_b, _cpu_times())
         shutil.rmtree(broot, ignore_errors=True)
 
