@@ -67,6 +67,15 @@ def _min_of(n: int, fn, samples: list | None = None) -> float:
     return best
 
 
+
+def _mark(msg: str) -> None:
+    """Progress marker on stderr (with disk usage) so a mid-run failure in
+    the minutes-long big phase is attributable to a specific row."""
+    import shutil as _sh
+    u = _sh.disk_usage("/tmp")
+    print(f"[bench] {time.strftime('%H:%M:%S')} disk_free={u.free >> 30}G {msg}",
+          file=sys.stderr, flush=True)
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -310,6 +319,7 @@ def main() -> None:
         )
         beng.topk(Term(bmed), 10).collect()  # unmeasured warmup
         cpu_b = _cpu_times()
+        _mark("big build done; query rows starting")
         for name, node in (
             ("BigMedTerm", Term(bmed)),
             ("BigAndHighMed", And((Term(bhigh), Term(bmed)))),
@@ -325,6 +335,7 @@ def main() -> None:
             queries[name] = round(
                 _min_of(3, lambda n=node: beng.topk(n, 10).collect()), 3
             )
+        _mark("big latency rows done")
         for name, node in (
             ("BigHighTerm", Term(bhigh)),
             ("BigOrHighMed", Or((Term(bhigh), Term(bmed)))),
@@ -391,11 +402,13 @@ def main() -> None:
         }
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
+        _mark("kernel rows done; big_qps_4way starting")
         bjobs = [nd for nd in big_cases.values() for _ in range(3)]
         t0 = time.time()
         with _TPE(max_workers=4) as pool:
             list(pool.map(lambda nd: beng.topk(nd, 10).collect(), bjobs))
         queries["big_qps_4way"] = round(len(bjobs) / (time.time() - t0), 2)
+        _mark("big_qps_4way done; big_qps_batched24 starting")
         t_bb = _min_of(2, lambda: beng.topk_batch(bbatch, 10).collect())
         queries["big_qps_batched24"] = round(len(bbatch) / t_bb, 2)
         steal["big"] = _steal_pct(cpu_b, _cpu_times())
@@ -407,18 +420,39 @@ def main() -> None:
         # banded plans at the same 600k-doc / 100k-embedding scale as the
         # search tier, min-of-N with steal%, and ASSERT no all-pairs stage
         # appears in any measured plan.
-        reps = int(os.environ.get("IR_BENCH_DEDUP_REPS", "3"))
+        _mark("big query tier done; phase 5 dedup/ANN starting")
+        # single-shot by default: one rep of each row is minutes of 32-core
+        # work (the signature kernel is the cost, not noise-prone job
+        # overhead), and r6's first real execution of this phase found a
+        # genuine scale bug (simhash single-block bands -> ~billions of
+        # candidate pairs -> 80 GB of shuffle), so keeping the phase
+        # runnable beats min-of-3 polish
+        reps = int(os.environ.get("IR_BENCH_DEDUP_REPS", "1"))
+        dedup_docs = int(os.environ.get("IR_BENCH_DEDUP_DOCS", "200000"))
         n_emb = int(os.environ.get("IR_BENCH_EMB", "100000"))
         from iresearch_spark.functions.dedup import (
             minhash_lsh_pairs,
             simhash_pairs,
         )
-        from iresearch_spark.functions.similarity import embedding_neardup_pairs
+        from iresearch_spark.functions.similarity import (
+            embedding_neardup_pairs,
+            release_cached,
+        )
         from iresearch_spark.index.build import assign_doc_ids
 
         cpu_d = _cpu_times()
-        dcorpus = assign_doc_ids(bcorpus, ["repo", "path", "commit"]).persist()
-        dcorpus.count()
+        # slice the big corpus to the dedup tier and PLANT near-dups (2%
+        # of docs duplicated under new keys): the raw synthetic corpus has
+        # zero near-dup pairs, which would leave the verify stages of both
+        # operators unexercised and the counts vacuously 0
+        frac = max(1, (big_docs + dedup_docs - 1) // dedup_docs)
+        dslice = bcorpus.where(F.xxhash64("path") % frac == 0)
+        dupes = dslice.where(F.xxhash64("path", "commit") % 50 == 0).withColumn(
+            "path", F.concat(F.col("path"), F.lit(".dupcopy"))
+        )
+        dcorpus = assign_doc_ids(
+            dslice.unionByName(dupes), ["repo", "path", "commit"]
+        ).persist()
 
         def _no_all_pairs(df):
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -426,13 +460,41 @@ def main() -> None:
                 "all-pairs stage in a dedup/ANN plan"
             )
 
+        big_meta["dedup_docs"] = dcorpus.count()
         mh = lambda: minhash_lsh_pairs(dcorpus, text_col="content")  # noqa: E731
-        sh = lambda: simhash_pairs(dcorpus, text_col="content")  # noqa: E731
+        # 64-bit product sketch + hamming<=1 here (the gate's md5_32/32-bit
+        # is an oracle-portability constraint): same-template synthetic
+        # text is simhash-DENSE — measured 3x10^8 pairs at 32-bit k<=3 over
+        # 600k docs (the r6 first-run 80GB blowup, together with
+        # single-block band keys) and still 8x10^6 at 64-bit k<=3 — so the
+        # bench row pins the true-near-identical tier (planted dups are
+        # hamming 0) instead of timing corpus pathology
+        sh = lambda: simhash_pairs(  # noqa: E731
+            dcorpus, text_col="content", bits=64, hash_fn="xxhash64",
+            max_hamming=1,
+        )
         _no_all_pairs(mh())
         _no_all_pairs(sh())
-        queries["BigMinhashLSH"] = round(_min_of(reps, lambda: mh().count()), 3)
-        queries["BigSimhash"] = round(_min_of(reps, lambda: sh().count()), 3)
-        big_meta["dedup_docs"] = dcorpus.count()
+        _mark("plans checked; BigMinhashLSH starting")
+
+        def _timed_pairs(fn):
+            counts = []
+
+            def once():
+                df = fn()
+                counts.append(df.count())
+                release_cached(df)
+
+            t = _min_of(reps, once)
+            return t, counts[-1]
+
+        t, n = _timed_pairs(mh)
+        queries["BigMinhashLSH"] = round(t, 3)
+        big_meta["minhash_pairs"] = n
+        _mark("BigMinhashLSH done; BigSimhash starting")
+        t, n = _timed_pairs(sh)
+        queries["BigSimhash"] = round(t, 3)
+        big_meta["simhash_pairs"] = n
         dcorpus.unpersist()
         bcorpus.unpersist()
 
@@ -470,9 +532,12 @@ def main() -> None:
         nd = lambda: embedding_neardup_pairs(  # noqa: E731
             emb, 64, threshold=0.99, n_planes=12, multiprobe_bits=1
         )
+        _mark("BigSimhash done; BigEmbNeardup starting")
         _no_all_pairs(nd())
-        queries["BigEmbNeardup"] = round(_min_of(reps, lambda: nd().count()), 3)
+        t, n = _timed_pairs(nd)
+        queries["BigEmbNeardup"] = round(t, 3)
         big_meta["emb_rows"] = n_emb
+        big_meta["emb_neardup_pairs"] = n
         emb.unpersist()
         steal["dedup"] = _steal_pct(cpu_d, _cpu_times())
 

@@ -134,18 +134,66 @@ def minhash_signatures(
 ) -> DataFrame:
     """-> (id, signature array<long>[num_hashes]).
 
-    Gram hashing runs JVM-side ONCE (xxhash64 over the shingle array); the
-    num_hashes min-wise reductions run in one Arrow kernel over that hash
-    array. (A pure-Catalyst formulation — num_hashes array_min(transform)
-    expressions — re-evaluates the shingling+hashing subtree per hash
-    function: measured 64x recompute, ~30x slower end-to-end.)"""
+    Gram hashing runs JVM-side ONCE; the num_hashes min-wise reductions
+    run in one Arrow kernel over that hash array. (A pure-Catalyst
+    formulation — num_hashes array_min(transform) expressions —
+    re-evaluates the shingling+hashing subtree per hash function:
+    measured 64x recompute, ~30x slower end-to-end.)
+
+    Token shingles are hashed NUMERICALLY (r6): tokens hash once, then
+    each n-window chains xxhash64 over the n token hashes — gram STRINGS
+    are never materialized. The string formulation (concat n tokens,
+    array_distinct, xxhash the result) measured ~10x the cost of
+    tokenization itself at 28M tokens (182 s of a 220 s pipeline);
+    allocating + deduping tens of millions of ~30-char JVM strings was
+    the entire minhash bottleneck at corpus scale. MinHash only ever
+    consumes gram hashes, so the hash-chain is semantically equivalent
+    modulo hash family (recall properties are pinned by the LSH gate
+    oracles and property tests, which pass unchanged)."""
     import random
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    sh = _shingles(F.col(text_col), shingle, token_shingles)
-    base = F.transform(sh, lambda x: F.pmod(F.xxhash64(F.lit(seed), x), F.lit(MERSENNE_P)))
+    if token_shingles:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"), lambda t: t != F.lit("")
+        )
+        # token-hash array computed ONCE as a projected column: the gram
+        # chain references it n times (zip_with legs), and an inline
+        # expression subtree would re-tokenize + re-hash per reference
+        df = df.select(
+            F.col(id_col).alias(id_col),
+            F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t)).alias("_th"),
+        )
+        th = F.col("_th")
+        grams = th
+        for j in range(1, shingle):
+            # windows running off the end must become NULL (and be
+            # filtered) — Spark's xxhash64 SKIPS null inputs rather than
+            # propagating, so the null has to be explicit
+            grams = F.zip_with(
+                grams,
+                F.slice(th, j + 1, F.size(th)),
+                lambda a, y: F.when(
+                    a.isNull() | y.isNull(), F.lit(None).cast("long")
+                ).otherwise(F.xxhash64(a, y)),
+            )
+        grams = F.filter(grams, lambda g: g.isNotNull())
+        # short/tokenless docs: one whole-doc gram (hash-chain of all
+        # token hashes), mirroring the string path's concat_ws fallback
+        whole = F.aggregate(
+            th, F.lit(seed).cast("long"), lambda a, x: F.xxhash64(a, x)
+        )
+        sh = F.array_distinct(
+            F.when(F.size(th) >= shingle, grams).otherwise(F.array(whole))
+        )
+        base = F.transform(sh, lambda x: F.pmod(x, F.lit(MERSENNE_P)))
+    else:
+        sh = _shingles(F.col(text_col), shingle, token_shingles)
+        base = F.transform(
+            sh, lambda x: F.pmod(F.xxhash64(F.lit(seed), x), F.lit(MERSENNE_P))
+        )
     rng = random.Random(seed)
     a = np.array([rng.randrange(1, MERSENNE_P) for _ in range(num_hashes)], dtype=np.int64)
     b = np.array([rng.randrange(0, MERSENNE_P) for _ in range(num_hashes)], dtype=np.int64)
@@ -350,36 +398,61 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
-    bands: int = 4,
+    blocks: int = 8,
     max_hamming: int = 3,
     hash_fn: str = "md5_32",
     seed: int = 42,
+    max_bucket: int = 500,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, found via band buckets.
+    """Near-dup pairs by SimHash hamming distance, found via block-
+    combination buckets (the Manku/Jain/Sarma web-dedup construction,
+    WWW'07 §3: probe tables keyed on bit subsets wide enough that buckets
+    stay tiny).
 
-    Scale shape: each sketch splits into `bands` equal bit-bands; docs
-    sharing ANY band value become candidates (equi-join, never all-pairs),
-    then exact hamming = bit_count(xor) filters to <= max_hamming.
+    The sketch splits into `blocks` equal bit-blocks; a pair within
+    hamming <= max_hamming differs in at most max_hamming blocks, so it
+    agrees on some (blocks - max_hamming)-subset — every such subset is
+    probed as ONE COMPOUND key. Versus keying single blocks, compound
+    keys are (blocks - max_hamming) x wider, so bucket population drops
+    exponentially: single 8-bit bands at 600k docs put ~2.3k docs in
+    every bucket (~billions of candidate pairs, the r6 bench-scale
+    blowup); 20-bit five-block keys put ~1.
 
-    COMPLETENESS: with max_hamming < bands this is exhaustive, not
-    approximate — a pair differing in <= bands-1 bits cannot differ in
-    every band (pigeonhole), so it always shares a bucket. The driver
-    gate exploits this: the DuckDB oracle computes the identical md5-based
-    sketch over all pairs and the two sides must agree exactly."""
-    assert max_hamming < bands, "pigeonhole completeness requires max_hamming < bands"
-    assert bits % bands == 0
-    width = bits // bands
+    COMPLETENESS: exhaustive (pigeonhole) whenever no bucket overflows
+    `max_bucket`. Overfull buckets — possible only when > max_bucket docs
+    agree on 5/8 of the sketch, i.e. boilerplate/near-identical tiers
+    that exact_dedup finds for ~free — are dropped, same policy and
+    rationale as minhash_lsh_pairs. The driver gate's DuckDB oracle
+    computes the identical md5 sketch over ALL pairs; equality also
+    proves no gate-scale bucket overflowed."""
+    from itertools import combinations
+
+    assert max_hamming < blocks, "pigeonhole completeness needs max_hamming < blocks"
+    assert bits % blocks == 0
+    width = bits // blocks
     mask = (1 << width) - 1
+    keep = blocks - max_hamming
     sk = simhash(df, text_col, id_col, bits=bits, seed=seed, hash_fn=hash_fn)
-    band_vals = F.array(
-        *[
-            F.shiftright("simhash", bi * width).bitwiseAND(F.lit(mask))
-            for bi in range(bands)
-        ]
-    )
+
+    def _block(bi: int):
+        return F.shiftright("simhash", bi * width).bitwiseAND(F.lit(mask))
+
+    def _packed(combo: tuple[int, ...]):
+        expr = F.lit(0).cast("long")
+        for bi in combo:
+            expr = F.shiftleft(expr, width).bitwiseOR(_block(bi))
+        return expr
+
+    combo_keys = F.array(*[_packed(c) for c in combinations(range(blocks), keep)])
     banded = sk.select(
-        "id", "simhash", F.posexplode(band_vals).alias("band", "band_val")
+        "id", "simhash", F.posexplode(combo_keys).alias("band", "band_val")
     )
+    if max_bucket:
+        sizes = banded.groupBy("band", "band_val").agg(F.count("*").alias("_bn"))
+        banded = banded.join(
+            sizes.where(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band", "band_val"],
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -407,3 +407,49 @@ def payload_stream_fn(term: str):
         )
 
     return run
+
+
+def multifield_stores(spark: SparkSession, sf_dir: str):
+    """Per-field packed stores over documents(text, source), one shared
+    doc-id space (built once, cached) — the multi-field gate fixture."""
+    from iresearch_spark.search.multifield import build_multifield
+
+    key = _fingerprint(sf_dir) + "-mf"
+    if key in _STORES:
+        return _STORES[key]
+    root = os.path.join(CACHE_ROOT, key)
+    marker = os.path.join(root, "field_text", "CURRENT")
+    if os.path.exists(marker):
+        from iresearch_spark.index.segments import IndexStore
+
+        stores = {
+            f: IndexStore(os.path.join(root, f"field_{f}"))
+            for f in ("text", "source")
+        }
+    else:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        stores = build_multifield(
+            spark, root, docs, ["text", "source"], doc_id_col="doc_id"
+        )
+    _STORES[key] = stores
+    return stores
+
+
+def multifield_and_fn(text_term: str, src_term: str, limit: int = 10):
+    """Cross-field conjunction through MultiFieldEngine: BM25(text leg) +
+    BM25(source leg), each against its own field's stats."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from iresearch_spark.search import And, Term
+        from iresearch_spark.search.multifield import Fielded, MultiFieldEngine
+        from iresearch_spark.search.scorers import PreciseBM25
+
+        key = (_app_id(spark), _fingerprint(sf_dir), "mf-eng")
+        if key not in _ENGINES:
+            _ENGINES[key] = MultiFieldEngine(
+                spark, multifield_stores(spark, sf_dir), scorer=PreciseBM25()
+            )
+        node = And((Fielded("text", Term(text_term)), Fielded("source", Term(src_term))))
+        return _as_gate_topk(_ENGINES[key].topk(node, limit))
+
+    return run

@@ -886,3 +886,60 @@ def batch_union_sql(named: dict[str, str]) -> str:
         + "\nUNION ALL\n".join(parts)
         + "\n) ORDER BY query, score DESC, doc_id"
     )
+
+
+def _src_field_ctes(d: str) -> str:
+    """Second-field CTEs (prefix `s`): the `source` column pushed through
+    the SAME analyzer semantics as the text field (lowercase, delimiter
+    split, stopword drop) with its own doclen/stats/tf/df — per-field
+    statistics exactly as the reference keeps per-field term states
+    (field_data.cpp:985-1080). The fixture's source values are single
+    tokens, but the CTEs stay fully general."""
+    if d == SPARK:
+        raw = (
+            "srawtok AS (SELECT doc_id, "
+            f"filter(split(lower(source), '{DELIM_RE}'), x -> x <> '') AS toks FROM documents), "
+            "stokall AS (SELECT doc_id, term FROM srawtok LATERAL VIEW explode(toks) t AS term)"
+        )
+    else:
+        raw = (
+            "srawtok AS (SELECT doc_id, "
+            f"list_filter(regexp_split_to_array(lower(source), '{DELIM_RE}'), x -> x <> '') AS toks FROM documents), "
+            "stokall AS (SELECT doc_id, unnest(toks) AS term FROM srawtok)"
+        )
+    return f"""{raw},
+stok AS (SELECT * FROM stokall WHERE term NOT IN {STOPS_IN}),
+sdoclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM stok GROUP BY doc_id),
+sstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM sdoclen),
+stf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM stok GROUP BY doc_id, term),
+sdf AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM stf GROUP BY term)"""
+
+
+def multifield_and_topk(d: str, text_term: str, src_term: str, k: int = 10) -> str:
+    """Cross-field conjunction oracle: BM25(text field, text_term) +
+    BM25(source field, src_term), each leg scored against ITS OWN field's
+    stats, doc must match both fields (MultiFieldEngine And semantics)."""
+    return f"""{tok_ctes(d)},
+{_src_field_ctes(d)},
+tl AS (
+  SELECT tf.doc_id AS doc_id, {SCORE_EXPR} AS s
+  FROM tf JOIN df ON tf.term = df.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  WHERE tf.term = '{text_term}'
+),
+sl AS (
+  SELECT stf.doc_id AS doc_id, {SCORE_EXPR} AS s
+  FROM stf JOIN sdf ON stf.term = sdf.term
+  JOIN sdoclen ON stf.doc_id = sdoclen.doc_id
+  CROSS JOIN sstats
+  WHERE stf.term = '{src_term}'
+),
+hits AS (SELECT tl.doc_id AS doc_id, tl.s + sl.s AS raw_score
+         FROM tl JOIN sl ON tl.doc_id = sl.doc_id)
+SELECT doc_id, CAST(floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 AS DOUBLE) AS score
+FROM hits
+ORDER BY floor((raw_score) * 1000000e0 + 0.5e0) / 1000000e0 DESC, doc_id
+LIMIT {k}"""

@@ -608,6 +608,15 @@ def build_registry() -> dict[str, dict]:
         "fn": _neardup_clusters,
         "duck": P.neardup_clusters_sql(P.DUCK),
     }
+
+    # --- r6: multi-field conjunction — per-field packed stores over one
+    # shared doc-id space (the reference's by_term{field, term} shape,
+    # term_filter.hpp:36-60); each leg scores against ITS OWN field's
+    # stats (docs-with-field, avgdl, doc_freq), combined And-style
+    r["multifield_and"] = {
+        "fn": G.multifield_and_fn(HIGH, "src1"),
+        "duck": P.multifield_and_topk(P.DUCK, HIGH, "src1"),
+    }
     # --- driver-window ROTATION (r5 VERDICT next-2): the driver emits
     # only the first ~50 insertion-ordered entries per round, so a fixed
     # ordering would leave the same 10 entries permanently outside the
@@ -642,24 +651,26 @@ CORE_ENTRIES = (
     "same_position", "nested_parents", "highlight_offsets",
     "payload_stream", "tfidf_high", "tfidf_norms_high",
     "bm25_legacy_high", "column_existence", "ngram_similarity",
-    "ngram_similarity_longest", "dedup_exact", "token_quality", "langid",
+    "dedup_exact", "token_quality", "langid",
 )
-# rotation half A: LLM-pipeline tier + displaced boolean permutations
+# rotation half A: LLM-pipeline tier + displaced permutations/variants
 # (in-window on ODD rounds)
 ROTATION_POOL_A = (
     "ngram_jaccard_pairs", "fingerprint", "quality_stats",
     "embedding_topk", "ann_ivf_full_topk", "event_window_stats",
     "minhash_lsh_pairs", "simhash_pairs", "embedding_neardup_pairs",
     "ann_lsh_topk", "and_high_low", "or_high_low",
+    "ngram_similarity_longest",
 )
 # rotation half B: scorer-variant / boolean-permutation / r5-r6 additions
 # (in-window on EVEN rounds — r6 puts the nine r5-displaced entries, the
-# new fuzzy3_batch, and the two NEW r6 operators — batched multi-query
-# execution and near-dup clustering — under the driver oracle)
+# new fuzzy3_batch, and the three NEW r6 operators — batched multi-query
+# execution, near-dup clustering, multi-field search — under the driver
+# oracle)
 ROTATION_POOL_B = (
     "or4", "or6", "terms_kmax", "or_kmax_high_med", "or_kmin_high_med",
     "bm15_high_med", "bm11_high_med", "bm1_high", "classify_labels",
-    "fuzzy3_batch", "batch_topk4", "neardup_clusters",
+    "fuzzy3_batch", "batch_topk4", "neardup_clusters", "multifield_and",
 )
 
 

@@ -23,3 +23,8 @@ from iresearch_spark.search.scorers import (  # noqa: F401
     get_scorer,
 )
 from iresearch_spark.search.executor import SearchEngine  # noqa: F401
+from iresearch_spark.search.multifield import (  # noqa: F401
+    Fielded,
+    MultiFieldEngine,
+    build_multifield,
+)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import random
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import DataFrame
@@ -186,14 +187,14 @@ def test_gate_window_rotation_guard(monkeypatch):
 
     import iresearch_spark.plans.registry as R
 
-    assert len(R.CORE_ENTRIES) == 38
-    assert len(R.ROTATION_POOL_A) == len(R.ROTATION_POOL_B) == 12
+    assert len(R.CORE_ENTRIES) == 37
+    assert len(R.ROTATION_POOL_A) == len(R.ROTATION_POOL_B) == 13
     assert not (set(R.ROTATION_POOL_A) & set(R.ROTATION_POOL_B))
 
     def window(round_no: int) -> list[str]:
         monkeypatch.setenv("IRS_GATE_ROUND", str(round_no))
         reg = R.build_registry()
-        assert len(reg) == 62
+        assert len(reg) == 63
         assert set(reg) == set(R.CORE_ENTRIES) | set(R.ROTATION_POOL_A) | set(
             R.ROTATION_POOL_B
         )
@@ -449,3 +450,162 @@ def test_topk_batch_matches_individual(spark, store800):
             ]
         assert got == sorted(exp)
         assert not any(q == "absent" for q, _, _ in got)
+
+
+# --------------------------------------------------------------------------
+# r6: every rotation-pool entry gets an automatic pytest oracle twin, so
+# the half that is OUT of the driver window this round is still verified
+# every run (and future pool additions are twinned by construction).
+# --------------------------------------------------------------------------
+
+from iresearch_spark.plans.registry import ROTATION_POOL_A, ROTATION_POOL_B
+
+
+def _gate_compare(spark_rows, duck_rows, cols):
+    """scripts/gate_check.compare semantics: row count + 9dp-rounded
+    values, order-insensitive."""
+    if len(spark_rows) != len(duck_rows):
+        return f"rows {len(spark_rows)} != {len(duck_rows)}"
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            out.append(
+                tuple(
+                    r[c] if not isinstance(r[c], float) else round(r[c], 9)
+                    for c in cols
+                )
+            )
+        return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+    for i, (x, y) in enumerate(zip(norm(spark_rows), norm(duck_rows))):
+        if x != y:
+            return f"mismatch at sorted row {i}: spark={x} duck={y}"
+    return None
+
+
+@pytest.mark.parametrize("name", list(ROTATION_POOL_A + ROTATION_POOL_B))
+def test_rotation_pool_twin(spark, name):
+    import os
+
+    from iresearch_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    ent = REGISTRY[name]
+    df = ent["fn"](spark, sf)
+    got = df.collect()
+    cols = df.columns
+    con = duckdb.connect()
+    try:
+        for t in ("documents", "embeddings", "events"):
+            p = f"{sf}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        duck = con.execute(ent["duck"]).fetchall()
+        dcols = [d[0] for d in con.description]
+    finally:
+        con.close()
+    assert cols == dcols, (cols, dcols)
+    spark_rows = [{c: r[c] for c in cols} for r in got]
+    duck_rows = [dict(zip(dcols, r)) for r in duck]
+    err = _gate_compare(spark_rows, duck_rows, cols)
+    assert err is None, f"{name}: {err}"
+
+
+# --------------------------------------------------------------------------
+# r6: multi-field search (by_term{field, term} parity)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mf_stores(spark, tmp_path_factory):
+    from iresearch_spark.search.multifield import build_multifield
+
+    corpus = generate_corpus(spark, 400, seed=6)
+    # second field: a small categorical label column (like doc 'source')
+    docs = corpus.withColumn(
+        "label", F.concat(F.lit("lab"), (F.xxhash64("path") % 5).cast("string"))
+    )
+    return build_multifield(
+        spark,
+        str(tmp_path_factory.mktemp("mf6")),
+        docs,
+        ["content", "label"],
+        key_cols=["repo", "path", "commit"],
+    )
+
+
+def test_multifield_cross_field_booleans(spark, mf_stores):
+    """Cross-field And/Or/min_match/Not combine per-field scored hits with
+    the single-field general-evaluator semantics: expectation computed by
+    joining the two per-field engines' hit sets driver-side."""
+    from iresearch_spark.search import And, Not, Or, SearchEngine, Term
+    from iresearch_spark.search.multifield import Fielded, MultiFieldEngine
+
+    eng = MultiFieldEngine(spark, mf_stores)
+    e_c = SearchEngine(spark, mf_stores["content"])
+    e_l = SearchEngine(spark, mf_stores["label"])
+    hits_c = {r["gdoc"]: r["score"] for r in e_c.execute(Term("batch")).collect()}
+    hits_l = {r["gdoc"]: r["score"] for r in e_l.execute(Term("lab1")).collect()}
+    assert hits_c and hits_l
+
+    node_and = And((Fielded("content", Term("batch")), Fielded("label", Term("lab1"))))
+    got = {r["gdoc"]: r["score"] for r in eng.execute(node_and).collect()}
+    exp = {
+        g: float(np.float32(hits_c[g] + hits_l[g]))
+        for g in set(hits_c) & set(hits_l)
+    }
+    assert got == exp and got
+
+    node_or = Or((Fielded("content", Term("batch")), Fielded("label", Term("lab1"))))
+    got = {r["gdoc"]: r["score"] for r in eng.execute(node_or).collect()}
+    exp = {
+        g: float(np.float32(hits_c.get(g, 0.0) + hits_l.get(g, 0.0)))
+        for g in set(hits_c) | set(hits_l)
+    }
+    assert got == exp
+
+    # kMax merge across fields
+    node_max = Or(
+        (Fielded("content", Term("batch")), Fielded("label", Term("lab1"))),
+        merge="max",
+    )
+    got = {r["gdoc"]: r["score"] for r in eng.execute(node_max).collect()}
+    exp = {
+        g: float(np.float32(max(hits_c.get(g, -np.inf), hits_l.get(g, -np.inf))))
+        for g in set(hits_c) | set(hits_l)
+    }
+    assert got == exp
+
+    # exclusion: content hits NOT in label lab1
+    node_not = And((Fielded("content", Term("batch")), Not(child=Fielded("label", Term("lab1")))))
+    got = {r["gdoc"]: r["score"] for r in eng.execute(node_not).collect()}
+    exp = {g: float(np.float32(s)) for g, s in hits_c.items() if g not in hits_l}
+    assert got == exp
+
+    # top-k ordering parity (score desc, gdoc asc)
+    top = [(r["gdoc"], r["score"]) for r in eng.topk(node_or, 5).collect()]
+    ordered = sorted(
+        (
+            (g, float(np.float32(hits_c.get(g, 0.0) + hits_l.get(g, 0.0))))
+            for g in set(hits_c) | set(hits_l)
+        ),
+        key=lambda p: (-p[1], p[0]),
+    )[:5]
+    assert top == ordered
+
+
+def test_multifield_per_field_stats(spark, mf_stores):
+    """Each field's leg must score against ITS OWN stats: the label
+    field's avgdl/doc_freq differ from content's, so a label-leg score
+    equals BM25 computed from the label engine's FieldStats."""
+    from iresearch_spark.search import SearchEngine, Term
+
+    e_l = SearchEngine(spark, mf_stores["label"])
+    assert e_l.field.avg_dl == pytest.approx(1.0)  # one token per doc
+    n = e_l.field.docs_count
+    dfreq = e_l._stats_for(["lab1"])["lab1"]
+    idf = np.float32(np.log1p((n - dfreq + 0.5) / (dfreq + 0.5)))
+    # tf=1, dl=1=avgdl -> score = idf * (k1+1) / (k1*(1-b+b) + 1) = idf
+    got = {r["gdoc"]: r["score"] for r in e_l.execute(Term("lab1")).collect()}
+    assert got and all(s == pytest.approx(float(idf), rel=1e-6) for s in got.values())
