@@ -524,7 +524,8 @@ def mf_stores(spark, tmp_path_factory):
     corpus = generate_corpus(spark, 400, seed=6)
     # second field: a small categorical label column (like doc 'source')
     docs = corpus.withColumn(
-        "label", F.concat(F.lit("lab"), (F.xxhash64("path") % 5).cast("string"))
+        "label",
+        F.concat(F.lit("lab"), F.pmod(F.xxhash64("path"), F.lit(5)).cast("string")),
     )
     return build_multifield(
         spark,
@@ -545,11 +546,11 @@ def test_multifield_cross_field_booleans(spark, mf_stores):
     eng = MultiFieldEngine(spark, mf_stores)
     e_c = SearchEngine(spark, mf_stores["content"])
     e_l = SearchEngine(spark, mf_stores["label"])
-    hits_c = {r["gdoc"]: r["score"] for r in e_c.execute(Term("batch")).collect()}
+    hits_c = {r["gdoc"]: r["score"] for r in e_c.execute(Term("return")).collect()}
     hits_l = {r["gdoc"]: r["score"] for r in e_l.execute(Term("lab1")).collect()}
     assert hits_c and hits_l
 
-    node_and = And((Fielded("content", Term("batch")), Fielded("label", Term("lab1"))))
+    node_and = And((Fielded("content", Term("return")), Fielded("label", Term("lab1"))))
     got = {r["gdoc"]: r["score"] for r in eng.execute(node_and).collect()}
     exp = {
         g: float(np.float32(hits_c[g] + hits_l[g]))
@@ -557,7 +558,7 @@ def test_multifield_cross_field_booleans(spark, mf_stores):
     }
     assert got == exp and got
 
-    node_or = Or((Fielded("content", Term("batch")), Fielded("label", Term("lab1"))))
+    node_or = Or((Fielded("content", Term("return")), Fielded("label", Term("lab1"))))
     got = {r["gdoc"]: r["score"] for r in eng.execute(node_or).collect()}
     exp = {
         g: float(np.float32(hits_c.get(g, 0.0) + hits_l.get(g, 0.0)))
@@ -567,7 +568,7 @@ def test_multifield_cross_field_booleans(spark, mf_stores):
 
     # kMax merge across fields
     node_max = Or(
-        (Fielded("content", Term("batch")), Fielded("label", Term("lab1"))),
+        (Fielded("content", Term("return")), Fielded("label", Term("lab1"))),
         merge="max",
     )
     got = {r["gdoc"]: r["score"] for r in eng.execute(node_max).collect()}
@@ -578,7 +579,7 @@ def test_multifield_cross_field_booleans(spark, mf_stores):
     assert got == exp
 
     # exclusion: content hits NOT in label lab1
-    node_not = And((Fielded("content", Term("batch")), Not(child=Fielded("label", Term("lab1")))))
+    node_not = And((Fielded("content", Term("return")), Not(child=Fielded("label", Term("lab1")))))
     got = {r["gdoc"]: r["score"] for r in eng.execute(node_not).collect()}
     exp = {g: float(np.float32(s)) for g, s in hits_c.items() if g not in hits_l}
     assert got == exp
