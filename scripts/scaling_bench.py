@@ -67,10 +67,20 @@ def run_measurement(cores: int, docs: int, n_queries: int) -> dict:
     warm = IndexStore(tempfile.mkdtemp(prefix=f"warm{cores}_"))
     build_segment(spark, warm, corpus.limit(500), "w")
     shutil.rmtree(warm.root, ignore_errors=True)
+    # min-of-2 (bench.py methodology, r5 ledger): the FIRST full build
+    # after materializing a big corpus cache runs up to 4x slower than an
+    # identical immediate re-run (allocator/page-cache state, measured
+    # 41.3 s vs 10.2 s at 300k docs) — and the cold penalty is a fixed
+    # per-footprint cost, so it dilutes the hi leg far more than the lo
+    # leg and corrupts the ratio. Warm throughput is what a steady-state
+    # ingest amortizes toward; cold is recorded alongside.
     s0, j0 = _cpu_steal_jiffies()
-    t0 = time.time()
-    build_segment(spark, store, corpus, "s0")
-    build_sec = time.time() - t0
+    builds = []
+    for _ in range(2):
+        t0 = time.time()
+        build_segment(spark, store, corpus, "s0")
+        builds.append(time.time() - t0)
+    build_sec = min(builds)
     s1, j1 = _cpu_steal_jiffies()
     # hypervisor steal during the build window (machine-wide %): this VM
     # has noisy neighbors; per-run steal is recorded so the ledger can
@@ -96,6 +106,7 @@ def run_measurement(cores: int, docs: int, n_queries: int) -> dict:
         "cores": cores,
         "docs": docs,
         "build_sec": round(build_sec, 3),
+        "build_sec_cold": round(builds[0], 3),
         "docs_per_sec": round(docs / build_sec, 1),
         "build_steal_pct": steal_pct,
         "n_queries": n_queries,
