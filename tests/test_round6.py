@@ -1,7 +1,12 @@
 """Round-6 additions: distributed unscored tail in the no-vocab regime
 (zero full-expansion collects — r5 VERDICT next-1/next-8), fuzzy d=3/4
 parity (next-4), tokenizer fast-path caret guard (r5 ADVICE), gate-window
-rotation regression guard (next-7), and the Damerau chunk-sizing fix."""
+rotation regression guard (next-7), the Damerau chunk-sizing fix, the
+driver-local plain-fuzzy batched DP, batched multi-query execution
+(topk_batch ≡ per-query topk, incl. under tombstones), near-dup
+clustering (connected components vs a recursive-CTE oracle), multi-field
+search (per-field stores, cross-field booleans), and the automatic
+per-run oracle twin for EVERY rotation-pool entry."""
 
 from __future__ import annotations
 
@@ -610,3 +615,42 @@ def test_multifield_per_field_stats(spark, mf_stores):
     # tf=1, dl=1=avgdl -> score = idf * (k1+1) / (k1*(1-b+b) + 1) = idf
     got = {r["gdoc"]: r["score"] for r in e_l.execute(Term("lab1")).collect()}
     assert got and all(s == pytest.approx(float(idf), rel=1e-6) for s in got.values())
+
+
+def test_topk_batch_respects_tombstones(spark, store800, tmp_path_factory):
+    """The batch kernel inlines the same tombstone mask as the per-query
+    kernel: after live deletes, topk_batch == per-query topk, and no
+    deleted gdoc surfaces."""
+    import shutil
+
+    from iresearch_spark.search import And, Or, Term
+
+    root = str(tmp_path_factory.mktemp("bdel") / "idx")
+    shutil.copytree(store800.root, root)
+    st = IndexStore(root)
+    eng0 = SearchEngine(spark, st)
+    victims = (
+        eng0.doc_universe()
+        .where(F.col("gdoc") % 3 == 0)
+        .select(F.lit("s0").alias("segment"), F.col("gdoc").alias("doc_id"))
+    )
+    st.remove(spark, victims)
+    eng = SearchEngine(spark, st)
+    eng.prepare_dictionary()
+    batch = {
+        "t": Term("batch"),
+        "and": And((Term("batch"), Term("key"))),
+        "or": Or((Term("batch"), Term("key"), Term("dup")), min_match=2),
+        "pre": Prefix("v1", scored_terms_limit=3),
+    }
+    got = sorted(
+        (r["query"], r["gdoc"], round(r["score"], 5))
+        for r in eng.topk_batch(batch, 10).collect()
+    )
+    assert got and not any(g % 3 == 0 for _, g, _ in got)
+    exp = sorted(
+        (name, r["gdoc"], round(r["score"], 5))
+        for name, node in batch.items()
+        for r in eng.topk(node, 10).collect()
+    )
+    assert got == exp
