@@ -240,6 +240,7 @@ _SEG_WORD = r"[\p{L}\p{M}\p{N}\p{Pc}]+(?:['’.][\p{L}\p{M}\p{N}\p{Pc}]+)*"
 
 
 def _seg_tokenizer(case: str, cjk: str = "keep", dictionary: tuple[str, ...] = ()):
+    dictionary = tuple(dictionary)  # accept list callers; the cache key must hash
     key = (case, cjk, dictionary)
     if key not in _SEG_TOKENIZERS:
         import regex as _rx

@@ -91,6 +91,15 @@ def exact_dedup(
     )
 
 
+def _tokens(text: Column) -> Column:
+    """Lowercased [^a-z0-9_]+-delimited tokens — the ONE tokenization every
+    dedup operator shares. LSH candidate generation (minhash/simhash) and
+    exact verification (n-gram Jaccard) must shingle over IDENTICAL token
+    streams or the candidate-recall guarantees silently rot; keep this the
+    single definition."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9_]+"), lambda t: t != F.lit(""))
+
+
 def _shingles(text: Column, n: int, token_shingles: bool) -> Column:
     """Char n-grams or token n-grams of the lowercased text.
 
@@ -100,7 +109,7 @@ def _shingles(text: Column, n: int, token_shingles: bool) -> Column:
     concatenated with each of the n-1 shifted arrays; windows running off
     the end pick up a NULL and concat() nulls them out."""
     if token_shingles:
-        toks = F.filter(F.split(F.lower(text), "[^a-z0-9_]+"), lambda t: t != F.lit(""))
+        toks = _tokens(text)
         length = F.size(toks)
         grams = toks
         for j in range(1, n):
@@ -156,9 +165,12 @@ def minhash_signatures(
     from pyspark.sql.types import ArrayType, LongType
 
     if token_shingles:
-        toks = F.filter(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"), lambda t: t != F.lit("")
-        )
+        # NULL text coalesces to '' BEFORE tokenizing: a null token-hash
+        # array would flow a null gram into the int64 signature kernel —
+        # an undefined NaN->int cast whose value varies across platforms,
+        # silently making NULL docs' signatures nondeterministic (the old
+        # string path produced a well-defined '' gram)
+        toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
         # token-hash array computed ONCE as a projected column: the gram
         # chain references it n times (zip_with legs), and an inline
         # expression subtree would re-tokenize + re-hash per reference
@@ -342,7 +354,7 @@ def simhash(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"), lambda t: t != F.lit(""))
+    toks = _tokens(F.col(text_col))
     if hash_fn == "md5_32":
         assert bits <= 32
         hashes = F.transform(
@@ -432,7 +444,11 @@ def simhash_pairs(
     width = bits // blocks
     mask = (1 << width) - 1
     keep = blocks - max_hamming
-    sk = simhash(df, text_col, id_col, bits=bits, seed=seed, hash_fn=hash_fn)
+    # persisted: the sketch (the expensive stage — a full tokenize+hash
+    # pass) feeds the bucket-size aggregate AND both self-join sides; the
+    # handle rides on the returned DataFrame for release_cached(), the
+    # minhash_lsh_pairs convention
+    sk = simhash(df, text_col, id_col, bits=bits, seed=seed, hash_fn=hash_fn).persist()
 
     def _block(bi: int):
         return F.shiftright("simhash", bi * width).bitwiseAND(F.lit(mask))
@@ -470,11 +486,13 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.expr("sa ^ sb"))
-    return (
+    out = (
         cands.withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    out._ir_cached_input = sk  # type: ignore[attr-defined]
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -586,30 +604,32 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("cluster_id")
     ).localCheckpoint()
-    for _ in range(max_iter):
-        msgs = e.join(
-            labels.select(F.col("id").alias("src"), "cluster_id"), "src"
-        ).select(F.col("dst").alias("id"), "cluster_id")
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations"
-        )
-    e.unpersist()
+    try:
+        for _ in range(max_iter):
+            msgs = e.join(
+                labels.select(F.col("id").alias("src"), "cluster_id"), "src"
+            ).select(F.col("dst").alias("id"), "cluster_id")
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations"
+            )
+    finally:
+        e.unpersist()
     return labels.withColumnRenamed("id", id_col)
 
 
@@ -650,6 +670,13 @@ def neardup_clusters(
         df.select(id_col),
         id_col=id_col,
     )
+    # label propagation ran to convergence above (its checkpoints hold the
+    # result), so the signature/candidate caches the pair builders
+    # persisted are done — release them instead of leaking them for the
+    # session lifetime (r6 review)
+    from iresearch_spark.functions.similarity import release_cached
+
+    release_cached(verified)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return cc.join(sizes, "cluster_id").select(
         id_col,

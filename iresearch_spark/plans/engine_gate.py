@@ -418,8 +418,12 @@ def multifield_stores(spark: SparkSession, sf_dir: str):
     if key in _STORES:
         return _STORES[key]
     root = os.path.join(CACHE_ROOT, key)
-    marker = os.path.join(root, "field_text", "CURRENT")
-    if os.path.exists(marker):
+    # cache is valid only when EVERY field committed — a crash between the
+    # two builds must trigger a rebuild, not poison the cache forever
+    if all(
+        os.path.exists(os.path.join(root, f"field_{f}", "CURRENT"))
+        for f in ("text", "source")
+    ):
         from iresearch_spark.index.segments import IndexStore
 
         stores = {

@@ -635,7 +635,7 @@ def build_registry() -> dict[str, dict]:
     return ordered
 
 
-# always in the driver window (first 38 slots). r6 moved the redundant
+# always in the driver window (first 37 slots). r6 moved the redundant
 # and_high_low / or_high_low permutations (same shapes as *_high_med)
 # into the rotation pools to make window room for the two new r6 entries
 # while keeping the window at exactly 50.

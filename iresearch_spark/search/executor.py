@@ -367,7 +367,12 @@ def _topk_sums_kernel(
             scores = np.concatenate(buf_scores)
             buf_docs.clear()
             buf_scores.clear()
-            if len(scorers) > 1 or min_match > 1:
+            # reduce whenever rows are chunk-grouped: a doc can carry
+            # blocks for several terms even when the SCORED dict has 0-1
+            # entries (distributed unscored tail, tail_sel regime) — keying
+            # the reduction off len(scorers) emitted duplicate per-term
+            # rows there (r6 review fallout)
+            if grouped:
                 order = np.argsort(docs, kind="stable")
                 docs = docs[order]
                 scores = scores[order]
@@ -497,7 +502,7 @@ def _batch_topk_kernel(
     mc_arr: np.ndarray,
     seg_base: dict[str, int],
     *,
-    k: int,
+    k: int | None,
     n_queries: int,
     mode: str,
     deleted: np.ndarray | None,
@@ -514,10 +519,14 @@ def _batch_topk_kernel(
 
     Per-query top-k pools bound what leaves the partition: at most
     k * n_queries candidate rows per partition reach the final per-query
-    ranking. No block-max skipping here — the batch path amortizes the
-    scan + decode across queries, which is where the time goes at batch
-    widths; a block would only be skippable when EVERY subscribed query's
-    bound fails, which at realistic batch widths almost never fires.
+    ranking. k=None disables pooling and emits every group — required
+    when the tombstone mask is too large to inline (the post-kernel
+    anti-join would otherwise strip pool survivors while live docs were
+    already discarded inside the kernel). No block-max skipping here —
+    the batch path amortizes the scan + decode across queries, which is
+    where the time goes at batch widths; a block would only be skippable
+    when EVERY subscribed query's bound fails, which at realistic batch
+    widths almost never fires.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -572,22 +581,24 @@ def _batch_topk_kernel(
             if not gd.size:
                 return
             tsums = _transform_arr(mode, sums)
-            # per-query pool/threshold update (groups arrive qid-sorted)
-            qstarts = np.flatnonzero(
-                np.concatenate(([True], gq[1:] != gq[:-1]))
-            )
-            qends = np.concatenate((qstarts[1:], [gq.size]))
-            for s, e in zip(qstarts, qends):
-                q = int(gq[s])
-                pool = np.sort(np.concatenate((pools[q], tsums[s:e])))[::-1][:k]
-                pools[q] = pool
-                if pool.size == k:
-                    thr[q] = float(pool[k - 1])
-            keep = tsums >= thr[gq]
-            out_q.append(gq[keep])
-            out_d.append(gd[keep])
-            out_s.append(tsums[keep])
-            out_n.append(counts[keep])
+            if k is not None:
+                # per-query pool/threshold update (groups arrive qid-sorted)
+                qstarts = np.flatnonzero(
+                    np.concatenate(([True], gq[1:] != gq[:-1]))
+                )
+                qends = np.concatenate((qstarts[1:], [gq.size]))
+                for s, e in zip(qstarts, qends):
+                    q = int(gq[s])
+                    pool = np.sort(np.concatenate((pools[q], tsums[s:e])))[::-1][:k]
+                    pools[q] = pool
+                    if pool.size == k:
+                        thr[q] = float(pool[k - 1])
+                keep = tsums >= thr[gq]
+                gq, gd, tsums, counts = gq[keep], gd[keep], tsums[keep], counts[keep]
+            out_q.append(gq)
+            out_d.append(gd)
+            out_s.append(tsums)
+            out_n.append(counts)
 
         for pdf in batches:
             n = len(pdf)
@@ -628,15 +639,18 @@ def _batch_topk_kernel(
             gd = np.concatenate(out_d)
             sc_ = np.concatenate(out_s)
             nt = np.concatenate(out_n)
-            # per-partition per-query top-k cap before emission
-            order = np.lexsort((gd, -sc_, gq))
-            gq_s = gq[order]
-            starts = np.flatnonzero(
-                np.concatenate(([True], gq_s[1:] != gq_s[:-1]))
-            )
-            sizes = np.diff(np.concatenate((starts, [gq_s.size])))
-            rank = np.arange(gq_s.size) - np.repeat(starts, sizes)
-            sel = order[rank < k]
+            if k is not None:
+                # per-partition per-query top-k cap before emission
+                order = np.lexsort((gd, -sc_, gq))
+                gq_s = gq[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], gq_s[1:] != gq_s[:-1]))
+                )
+                sizes = np.diff(np.concatenate((starts, [gq_s.size])))
+                rank = np.arange(gq_s.size) - np.repeat(starts, sizes)
+                sel = order[rank < k]
+            else:
+                sel = np.arange(gq.size)
             yield pd.DataFrame(
                 {
                     "qid": gq[sel].astype(np.int32),
@@ -1142,8 +1156,16 @@ class SearchEngine:
                 pairs = self._fuzzy_damerau_pairs(leaf)
                 return pairs[: leaf.max_terms], [t for t, _ in pairs[leaf.max_terms :]]
             # no-vocab: distributed Damerau verify (executors, mapInPandas);
-            # collect ONLY the scored head, tail stays a DataFrame
-            verified = self._damerau_matches_df(leaf)
+            # collect ONLY the scored head, tail stays a DataFrame. The
+            # verified frame is persisted and cached per (term, distance):
+            # the head collect AND the tail semi-join both consume it, and
+            # unpersisted that re-ran the full term_stats scan + DP verify
+            # twice per query (r6 review)
+            key = ("dam", leaf.term, leaf.distance)
+            verified = self._proxy_cache.get(key)
+            if verified is None:
+                verified = self._damerau_matches_df(leaf).persist()
+                self._proxy_cache[key] = verified
             rows = (
                 verified.orderBy(F.desc("doc_freq"), F.asc("term"))
                 .limit(leaf.max_terms)
@@ -1387,7 +1409,11 @@ class SearchEngine:
         spec = self._query_spec(leaf, boost)
         assert spec is not None
         scorers, min_match, _, merge, tail_sel = spec
-        if not scorers:
+        if not scorers and tail_sel is None:
+            # empty head AND no distributed tail -> truly no matches; with
+            # a tail predicate the scan must still run (scored_terms_limit
+            # 0 in the no-vocab regime: every matched doc surfaces at
+            # score 0, identical to the vocab path — r6 review)
             return self._empty_hits()
         return self._hits_scan(
             scorers, min_match=min_match, merge=merge, tail_sel=tail_sel
@@ -1521,7 +1547,7 @@ class SearchEngine:
         spec = self._query_spec(node, boost)
         if spec is not None:
             scorers, min_match, const, merge, tail_sel = spec
-            if not scorers:
+            if not scorers and tail_sel is None:
                 return self._empty_hits()
             return self._hits_scan(
                 scorers,
@@ -1798,7 +1824,7 @@ class SearchEngine:
         )
         if spec is not None:
             scorers, min_match, const, merge, tail_sel = spec
-            if not scorers:
+            if not scorers and tail_sel is None:
                 hits = self._empty_hits()
             else:
                 prune = wand and self._deleted_inline
@@ -1807,7 +1833,12 @@ class SearchEngine:
                     min_match=min_match,
                     const_add=const,
                     merge=merge,
-                    k=k,
+                    # per-partition pools/caps count docs the kernel can't
+                    # see as deleted when the tombstone set is too big to
+                    # inline — the post-kernel anti-join mask could then
+                    # strip survivors below k while live docs were already
+                    # discarded. No kernel top-k in that regime (r6 review)
+                    k=k if self._deleted_inline else None,
                     prune=prune,
                     mode=self.final_mode,
                     tail_sel=tail_sel,
@@ -1889,7 +1920,9 @@ class SearchEngine:
                     np.asarray(ca, dtype=np.float64),
                     np.asarray(mc, dtype=np.int64),
                     self.seg_base,
-                    k=k,
+                    # kernel pooling only when the tombstone mask is inline
+                    # (same reasoning as topk — r6 review)
+                    k=k if self._deleted_inline else None,
                     n_queries=len(batched),
                     mode=self.final_mode,
                     deleted=self._deleted_arr if self._deleted_inline else None,

@@ -428,12 +428,12 @@ def test_topk_batch_matches_individual(spark, store800):
     from iresearch_spark.search import And, Or, Phrase, Term, Terms
 
     batch = {
-        "term": Term("batch"),
-        "and2": And((Term("batch"), Term("key"))),
-        "or_kmax": Or((Term("batch"), Term("key")), merge="max"),
-        "or_kmin": Or((Term("batch"), Term("key")), merge="min"),
-        "mm2of3": Or((Term("batch"), Term("key"), Term("dup")), min_match=2),
-        "terms_boost": Terms(("batch", "key"), boosts=(2.0, 0.5)),
+        "term": Term("def"),
+        "and2": And((Term("def"), Term("return"))),
+        "or_kmax": Or((Term("def"), Term("return")), merge="max"),
+        "or_kmin": Or((Term("def"), Term("return")), merge="min"),
+        "mm2of3": Or((Term("def"), Term("return"), Term("import")), min_match=2),
+        "terms_boost": Terms(("def", "return"), boosts=(2.0, 0.5)),
         "prefix": Prefix("s", scored_terms_limit=3),
         "wild": Wildcard("*a*n", scored_terms_limit=2),
         "fuzzy": Fuzzy("batch", distance=1, max_terms=1000),
@@ -638,9 +638,9 @@ def test_topk_batch_respects_tombstones(spark, store800, tmp_path_factory):
     eng = SearchEngine(spark, st)
     eng.prepare_dictionary()
     batch = {
-        "t": Term("batch"),
-        "and": And((Term("batch"), Term("key"))),
-        "or": Or((Term("batch"), Term("key"), Term("dup")), min_match=2),
+        "t": Term("def"),
+        "and": And((Term("def"), Term("return"))),
+        "or": Or((Term("def"), Term("return"), Term("import")), min_match=2),
         "pre": Prefix("v1", scored_terms_limit=3),
     }
     got = sorted(
@@ -654,3 +654,74 @@ def test_topk_batch_respects_tombstones(spark, store800, tmp_path_factory):
         for r in eng.topk(node, 10).collect()
     )
     assert got == exp
+
+
+def test_zero_scored_head_distributed_tail(spark, store800):
+    """scored_terms_limit=0 with the vocab cache OFF: the scored head is
+    empty but the distributed tail must still reach the scan — every
+    matched doc surfaces at score 0, identical to the vocab-cached engine
+    (r6 review: `if not scorers` returned Empty before consulting the
+    tail)."""
+    ref = SearchEngine(spark, store800)
+    ref.prepare_dictionary()
+    eng = _novocab(spark, store800)
+    node = Prefix("v1", scored_terms_limit=0)
+    exp = sorted((r["gdoc"], r["score"]) for r in ref.execute(node).collect())
+    got = sorted((r["gdoc"], r["score"]) for r in eng.execute(node).collect())
+    assert exp and got == exp and all(s == 0.0 for _, s in exp)
+    kexp = [(r["gdoc"], r["score"]) for r in ref.topk(node, 5).collect()]
+    kgot = [(r["gdoc"], r["score"]) for r in eng.topk(node, 5).collect()]
+    assert kgot == kexp and len(kgot) == 5
+
+
+def test_topk_non_inline_tombstones(spark, store800, tmp_path_factory):
+    """When the tombstone set exceeds MAX_INLINE_TOMBSTONES the kernel
+    cannot see deletes, so its per-partition top-k pools MUST be disabled
+    (k=None) — otherwise deleted docs crowd live ones out of the pools and
+    the post-kernel anti-join leaves fewer than k live hits (r6 review).
+    Pinned by forcing the non-inline regime and requiring identity with
+    the inline engine across plain/batch paths."""
+    import shutil
+
+    from iresearch_spark.search import And, Or, Term
+
+    root = str(tmp_path_factory.mktemp("noninl") / "idx")
+    shutil.copytree(store800.root, root)
+    st = IndexStore(root)
+    eng0 = SearchEngine(spark, st)
+    # delete aggressively so pool-crowding would be visible at k=10
+    victims = (
+        eng0.doc_universe()
+        .where(F.col("gdoc") % 3 != 0)
+        .select(F.lit("s0").alias("segment"), F.col("gdoc").alias("doc_id"))
+    )
+    st.remove(spark, victims)
+
+    inline = SearchEngine(spark, st)
+    assert inline._deleted_inline
+    noninl = SearchEngine(spark, st)
+    # force the >MAX_INLINE_TOMBSTONES (100-TB) regime on the same mask
+    noninl._deleted_inline = False
+    noninl._tomb_gdocs = spark.createDataFrame(
+        [(int(g),) for g in noninl._deleted_arr], "gdoc long"
+    )
+    noninl._deleted_arr = None
+
+    batch = {
+        "t": Term("def"),
+        "and": And((Term("def"), Term("return"))),
+        "or": Or((Term("def"), Term("import"))),
+    }
+    for name, node in batch.items():
+        exp = [(r["gdoc"], r["score"]) for r in inline.topk(node, 10).collect()]
+        got = [(r["gdoc"], r["score"]) for r in noninl.topk(node, 10).collect()]
+        assert got == exp and len(exp) == 10, (name, got, exp)
+    gotb = sorted(
+        (r["query"], r["gdoc"], round(r["score"], 5))
+        for r in noninl.topk_batch(batch, 10).collect()
+    )
+    expb = sorted(
+        (r["query"], r["gdoc"], round(r["score"], 5))
+        for r in inline.topk_batch(batch, 10).collect()
+    )
+    assert gotb == expb and len(gotb) == 30
