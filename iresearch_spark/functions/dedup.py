@@ -132,7 +132,154 @@ def _shingles(text: Column, n: int, token_shingles: bool) -> Column:
     )
 
 
+_TOKRX = r"[a-z0-9_]+"  # complement of the _tokens delimiter class
+
+
+def _seed_chain(seed: int):
+    """The running hash after Spark's xxhash64 consumed `F.lit(seed)`:
+    IntegerType literal -> hashInt path; LongType literal -> hashLong
+    (python ints outside int32 become LongType in F.lit)."""
+    from iresearch_spark.functions.hashing import xxhash64_int, xxhash64_long
+
+    if -(1 << 31) <= seed < (1 << 31):
+        return xxhash64_int(np.array([seed]), 42).astype(np.uint64)[0]
+    return xxhash64_long(np.array([seed], dtype=np.int64), 42).astype(np.uint64)[0]
+
+
+def _tokenize_hash_batch(texts, hash_fn: str, chain_seed, null_as_empty: bool):
+    """One Arrow batch: lowercase+tokenize (C regex, same token stream as
+    `_tokens`) and hash each UNIQUE token once (factorize), bit-exactly
+    matching the JVM expression the operators previously evaluated
+    per-occurrence. Returns (flat int64 hashes, per-doc lens)."""
+    import hashlib
+    import re
+    from itertools import chain
+
+    from iresearch_spark.functions.hashing import xxhash64_bytes
+
+    tokrx = re.compile(_TOKRX)
+    tok_lists = [
+        tokrx.findall(x.lower())
+        if isinstance(x, str)
+        else ([] if null_as_empty or x is None else [])
+        for x in texts
+    ]
+    n = len(tok_lists)
+    lens = np.fromiter((len(l) for l in tok_lists), np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), lens
+    flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
+    codes, uniq = pd.factorize(flat)
+    if hash_fn == "md5_32":
+        uh = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in uniq),
+            np.int64,
+            count=len(uniq),
+        )
+    else:
+        uh = xxhash64_bytes(uniq, chain_seed)
+    return uh[codes], lens
+
+
 def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle: int = 5,
+    token_shingles: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (id, signature array<long>[num_hashes]).
+
+    r7: the token-shingle path runs as ONE mapInPandas kernel — tokenize
+    (C regex over the batch), hash unique tokens once (numpy XXH64,
+    bit-identical to F.xxhash64 — functions/hashing.py), vectorized gram
+    hash-chaining, and the min-wise matrix reduction, all in one Python
+    crossing. The previous JVM expression pipeline evaluated xxhash64
+    inside interpreted higher-order lambdas per token (~50 us/token);
+    signatures for the 204k-doc bench tier measured 24.0 s -> see
+    OPTIMIZATION_r07.md. Byte-identical output is pinned by
+    tests/test_round7.py against `_minhash_signatures_expr` (the old
+    pipeline, kept below as the reference twin and as the char-shingle
+    fallback)."""
+    import random
+
+    if not token_shingles:
+        return _minhash_signatures_expr(
+            df, text_col, id_col, num_hashes, shingle, token_shingles, seed
+        )
+    from iresearch_spark.functions.hashing import xxhash64_long_pair
+
+    rng = random.Random(seed)
+    a = np.array([rng.randrange(1, MERSENNE_P) for _ in range(num_hashes)], dtype=np.int64)
+    b = np.array([rng.randrange(0, MERSENNE_P) for _ in range(num_hashes)], dtype=np.int64)
+    chain_seed = _seed_chain(seed)
+    s = shingle
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["_id"].to_numpy()
+            # NULL text coalesces to '' (tokenless) — the old path's
+            # F.coalesce kept NULL docs' signatures deterministic
+            th, lens = _tokenize_hash_batch(pdf["_t"], "xxhash64", chain_seed, True)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            total = int(bounds[-1])
+            # full-window grams: chain xxhash64 over each s-token window
+            # (g_i = xxhash64(...xxhash64(th_i, th_i+1)..., th_i+s-1)),
+            # computed flat with j-shifted vectorized chaining
+            g = th.copy()
+            for j in range(1, s):
+                if total > j:
+                    g[: total - j] = xxhash64_long_pair(g[: total - j], th[j:])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], lens)
+            valid = pos <= (np.repeat(lens, lens) - s)
+            grams_long = g[valid]
+            # short/tokenless docs: ONE whole-doc gram = the aggregate
+            # fold seed -> xxhash64(acc, th_k) (empty docs keep `seed`)
+            fb = np.flatnonzero(lens < s)
+            acc = np.full(fb.size, seed, dtype=np.int64)
+            for step in range(s - 1):
+                live = lens[fb] > step
+                if not live.any():
+                    break
+                li = np.flatnonzero(live)
+                acc[li] = xxhash64_long_pair(
+                    acc[li], th[bounds[fb[li]] + step]
+                )
+            counts = np.where(lens >= s, lens - s + 1, 1)
+            gtotal = int(counts.sum())
+            gflat = np.empty(gtotal, dtype=np.int64)
+            long_slot = np.repeat(lens >= s, counts)
+            gflat[long_slot] = grams_long
+            gflat[~long_slot] = acc
+            base = gflat % MERSENNE_P  # == Spark pmod for positive divisor
+            gb = np.concatenate(([0], np.cumsum(counts)))
+            # min-wise reduction, chunked (the old _sig kernel's matrix)
+            out = np.empty((n, num_hashes), dtype=np.int64)
+            chunk = 100_000
+            i = 0
+            while i < n:
+                j = i + 1
+                while j < n and gb[j + 1] - gb[i] < chunk:
+                    j += 1
+                seg = base[gb[i] : gb[j]]
+                m = (a[:, None] * seg[None, :] + b[:, None]) % MERSENNE_P
+                st = (gb[i:j] - gb[i])
+                out[i:j] = np.minimum.reduceat(m, st, axis=1).T
+                i = j
+            yield pd.DataFrame({"id": ids, "signature": list(out)})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    ).mapInPandas(fn, "id long, signature array<long>")
+
+
+def _minhash_signatures_expr(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -248,6 +395,46 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), _sig(base).alias("signature"))
 
 
+def _bucket_pairs(grouped: DataFrame, max_bucket: int) -> DataFrame:
+    """Bucket member-lists -> candidate (id_a, id_b) pairs, id_a < id_b.
+
+    r7 restructure (guide §2.4): the band self-join previously cost FOUR
+    shuffles of every band row (bucket-size aggregate, size join-back,
+    the self-join's two exchange sides) plus a wide pair dedup. One
+    groupBy(bucket).collect_list is ONE shuffle of the same rows; buckets
+    with 2..max_bucket members (rare — only near-dup groups) expand to
+    pairs in a tiny Arrow kernel. Overfull buckets drop exactly as the
+    join-based cap did. `grouped` must have a `_mem` array<long> column."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if max_bucket:
+        grouped = grouped.where(F.size("_mem") <= max_bucket)
+    grouped = grouped.where(F.size("_mem") >= 2)
+
+    def pairgen(batches):
+        for pdf in batches:
+            outs_a, outs_b = [], []
+            for mem in pdf["_mem"]:
+                arr = np.sort(np.asarray(mem, dtype=np.int64))
+                ia, ib = np.triu_indices(arr.size, k=1)
+                outs_a.append(arr[ia])
+                outs_b.append(arr[ib])
+            if outs_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(outs_a),
+                        "id_b": np.concatenate(outs_b),
+                    }
+                )
+
+    return grouped.select("_mem").mapInPandas(
+        pairgen,
+        StructType(
+            [StructField("id_a", LongType()), StructField("id_b", LongType())]
+        ),
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -294,23 +481,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    if max_bucket:
-        sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bn"))
-        banded = banded.join(
-            sizes.where(F.col("_bn") <= max_bucket).drop("_bn"),
-            ["band", "band_hash"],
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # ONE groupBy + kernel pair expansion replaces the four-shuffle
+    # size-cap + self-join construction (see _bucket_pairs)
+    cands = _bucket_pairs(
+        banded.groupBy("band", "band_hash").agg(F.collect_list("id").alias("_mem")),
+        max_bucket,
     )
     cands = cands.join(
         sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")),
@@ -334,6 +509,72 @@ def minhash_lsh_pairs(
 
 
 def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash fingerprint: sign of per-bit sums of token hashes.
+
+    r7: ONE mapInPandas kernel — tokenize (C regex), hash unique tokens
+    once per batch (numpy XXH64 bit-identical to F.xxhash64 / md5 via
+    hashlib), then an unpackbits bit-count reduction. The previous shape
+    evaluated the tokenize+hash expression tree TWICE (the `size(toks)`
+    filter pushed below the project re-evaluated the split) inside
+    interpreted Catalyst lambdas — the sketch alone measured 49.8 s of
+    BigSimhash's 48.5 s (see OPTIMIZATION_r07.md). The unpackbits kernel
+    also replaces the (tokens x bits) int64 shift/and matrix (6x less
+    memory traffic, measured 348 ms -> 58 ms per 200k tokens). Output is
+    byte-identical (pinned by tests/test_round7.py against
+    `_simhash_expr`, the old pipeline kept below).
+
+    Result: (id, simhash as bigint); docs with no tokens are dropped
+    (a sketch of nothing is noise). hash_fn:
+      - "xxhash64": 64-bit xxhash (product default)
+      - "md5_32":   low 32 bits of md5(term) — SQL-portable, used by the
+                    driver gate so DuckDB can recompute the identical
+                    sketch (bits must be <= 32)
+    """
+    if hash_fn == "md5_32":
+        assert bits <= 32
+    chain_seed = None if hash_fn == "md5_32" else _seed_chain(seed)
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["_id"].to_numpy()
+            th, lens = _tokenize_hash_batch(pdf["_t"], hash_fn, chain_seed, False)
+            ne = np.flatnonzero(lens > 0)
+            if ne.size == 0:
+                continue
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            # bit matrix straight off the hash bytes: little-endian byte
+            # view + unpackbits(bitorder='little') -> column b == bit b
+            bm = np.unpackbits(
+                th.astype(np.uint64).view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
+            )[:, :bits]
+            ones = np.add.reduceat(bm, bounds[:-1][ne], axis=0, dtype=np.int64)
+            # sign of sum of +-1 over tokens == (2 * ones > n_tokens)
+            sk = (
+                ((2 * ones > lens[ne][:, None]).astype(np.uint64) << shifts)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            yield pd.DataFrame({"id": ids[ne], "simhash": sk})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    ).mapInPandas(fn, "id long, simhash long")
+
+
+def _simhash_expr(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -461,29 +702,20 @@ def simhash_pairs(
 
     combo_keys = F.array(*[_packed(c) for c in combinations(range(blocks), keep)])
     banded = sk.select(
-        "id", "simhash", F.posexplode(combo_keys).alias("band", "band_val")
+        "id", F.posexplode(combo_keys).alias("band", "band_val")
     )
-    if max_bucket:
-        sizes = banded.groupBy("band", "band_val").agg(F.count("*").alias("_bn"))
-        banded = banded.join(
-            sizes.where(F.col("_bn") <= max_bucket).drop("_bn"),
-            ["band", "band_val"],
-        )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # ONE groupBy + kernel pair expansion replaces the four-shuffle
+    # size-cap + self-join construction (see _bucket_pairs); sketches
+    # re-attach to the (orders-of-magnitude smaller) deduped pair set —
+    # the minhash_lsh_pairs discipline
+    cands = _bucket_pairs(
+        banded.groupBy("band", "band_val").agg(F.collect_list("id").alias("_mem")),
+        max_bucket,
+    )
+    cands = cands.join(
+        sk.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa")), "id_a"
+    ).join(
+        sk.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb")), "id_b"
     )
     ham = F.bit_count(F.expr("sa ^ sb"))
     out = (

@@ -73,13 +73,36 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Adds a `bucket` column: sign bits against n_planes seeded random
     hyperplanes packed into a long. Cosine-similar vectors collide with
-    probability (1 - theta/pi)^n_planes."""
+    probability (1 - theta/pi)^n_planes.
+
+    r7: ONE pandas UDF computes all n_planes dots per batch; the inner
+    loop accumulates `acc += V[:, j] * p[j]` in ascending j — the exact
+    left-to-right float64 summation order of the previous Catalyst
+    `aggregate(zip_with(...))` expression, so every sign bit (and thus
+    every bucket id the oracled gate rows depend on) is bit-identical
+    (pinned by tests/test_round7.py). The Catalyst form evaluated
+    n_planes interpreted lambda chains per row."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
     planes = _planes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        bit = (_dot_lit(F.col(vec_col), p) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return df.withColumn("bucket", bucket)
+    P = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    @pandas_udf(LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bucket = np.zeros(n, dtype=np.int64)
+        for i, p in enumerate(P):
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(V.shape[1]):
+                acc += V[:, j] * p[j]
+            bucket |= (acc > 0).astype(np.int64) << i
+        return pd.Series(bucket)
+
+    return df.withColumn("bucket", _bucket(F.col(vec_col)))
 
 
 def query_bucket(query: list[float], dim: int, n_planes: int = 12, seed: int = 42) -> int:
@@ -220,9 +243,13 @@ def embedding_neardup_pairs(
     on them is 1 by construction; near-dups at angle theta collide with
     prob (1 - theta/pi)^n_planes per probe. Pair dedup happens on bare ids
     BEFORE embeddings re-attach (the minhash_lsh_pairs discipline)."""
-    bucketed = hyperplane_lsh_buckets(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("id"), vec_col, "bucket"
-    )
+    # (id, bucket) sketch computed ONCE and persisted for both self-join
+    # sides (r7 — the previous shape re-evaluated the n_planes bucket
+    # expression for each side); the handle rides on the returned frame
+    # for release_cached(), the minhash_lsh_pairs convention
+    sk = hyperplane_lsh_buckets(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("id"), "bucket"
+    ).persist()
     probes = [0]
     if multiprobe_bits >= 1:
         probes += [1 << i for i in range(n_planes)]
@@ -232,37 +259,128 @@ def embedding_neardup_pairs(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    a = bucketed.select(
+    a = sk.select(
         F.col("id").alias("id_a"),
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probes])
         ).alias("bucket"),
     )
-    b = bucketed.select(F.col("id").alias("id_b"), "bucket")
+    b = sk.select(F.col("id").alias("id_b"), "bucket")
     cands = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # --- verify tier selection (r7, guide §8): the decision rows are tiny
+    # (id_a, id_b) while the payload (two dim-float64 vectors per pair) is
+    # ~1 KB/pair. When the vector table fits a broadcast, ship the WHOLE
+    # (ids, matrix) once and verify inside a kernel over bare id pairs —
+    # the two shuffle joins re-attaching vectors and the ~1 KB/pair Arrow
+    # crossing disappear (measured: the whole-operator cost was this
+    # attach+verify, not the bucketing). Beyond the cap (cluster scale),
+    # fall back to the join + vectorized-verify path below.
+    import os
+
+    n_vec = sk.count()  # also materializes the persisted sketch
+    bcast_max = int(os.environ.get("IR_EMB_BCAST_MAX", "500000"))
+    if n_vec <= bcast_max:
+        pdf_v = df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+        ).toPandas()
+        ids_v = pdf_v["id"].to_numpy().astype(np.int64)
+        if np.unique(ids_v).size == ids_v.size:
+            order = np.argsort(ids_v, kind="mergesort")
+            ids_sorted = ids_v[order]
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf_v["v"]]
+            )[order]
+            bc = df.sparkSession.sparkContext.broadcast((ids_sorted, V))
+            thr = float(threshold)
+
+            def verify(batches):
+                ids_s, Vm = bc.value
+                for pdf in batches:
+                    n = len(pdf)
+                    if n == 0:
+                        continue
+                    ia = np.searchsorted(ids_s, pdf["id_a"].to_numpy())
+                    ib = np.searchsorted(ids_s, pdf["id_b"].to_numpy())
+                    A = Vm[ia]
+                    B = Vm[ib]
+                    dot = np.zeros(n, dtype=np.float64)
+                    na = np.zeros(n, dtype=np.float64)
+                    nb = np.zeros(n, dtype=np.float64)
+                    # ascending-j accumulation: the exact float64 order of
+                    # the Catalyst aggregate(zip_with) expression
+                    for j in range(Vm.shape[1]):
+                        dot += A[:, j] * B[:, j]
+                        na += A[:, j] * A[:, j]
+                        nb += B[:, j] * B[:, j]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dot / (np.sqrt(na) * np.sqrt(nb))
+                    # Spark semantics keep NaN/+inf on `>= threshold`
+                    # (NaN sorts greatest); ~(cos < thr) reproduces that
+                    keep = ~(cos < thr)
+                    if keep.any():
+                        yield pd.DataFrame(
+                            {
+                                "id_a": pdf["id_a"].to_numpy()[keep],
+                                "id_b": pdf["id_b"].to_numpy()[keep],
+                                "cosine": cos[keep],
+                            }
+                        )
+
+            out = cands.select(
+                F.col("id_a").cast("long"), F.col("id_b").cast("long")
+            ).mapInPandas(verify, "id_a long, id_b long, cosine double")
+            # release_cached() calls .unpersist() on each element — valid
+            # for the Broadcast handle too, so the 100k x dim matrix does
+            # not outlive the query
+            out._ir_cached_input = [sk, bc]  # type: ignore[attr-defined]
+            return out
+
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col))
     withv = cands.join(
-        bucketed.select(F.col("id").alias("id_a"), F.col(vec_col).alias("_va")),
+        vecs.select(F.col("id").alias("id_a"), F.col(vec_col).alias("_va")),
         "id_a",
     ).join(
-        bucketed.select(F.col("id").alias("id_b"), F.col(vec_col).alias("_vb")),
+        vecs.select(F.col("id").alias("id_b"), F.col(vec_col).alias("_vb")),
         "id_b",
     )
-    dot = F.aggregate(
-        F.zip_with(_f64(F.col("_va")), _f64(F.col("_vb")), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos = dot / (_norm(F.col("_va")) * _norm(F.col("_vb")))
-    return (
-        withv.withColumn("cosine", cos)
+    # exact float64 verify in ONE Arrow kernel; the inner loops accumulate
+    # in ascending element order — bit-identical to the previous Catalyst
+    # aggregate(zip_with) expression (the oracle's expression tree), which
+    # evaluated ~3*dim interpreted lambda steps per candidate pair and was
+    # the dominant cost of the whole operator (guide §4.2; measured in
+    # OPTIMIZATION_r07.md). Pinned by tests/test_round7.py.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        n = len(va)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        dot = np.zeros(n, dtype=np.float64)
+        na = np.zeros(n, dtype=np.float64)
+        nb = np.zeros(n, dtype=np.float64)
+        for j in range(A.shape[1]):
+            dot += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    out = (
+        withv.withColumn("cosine", _cos(F.col("_va"), F.col("_vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    out._ir_cached_input = sk  # type: ignore[attr-defined]
+    return out
 
 
 def lsh_cosine_topk(

@@ -1,0 +1,248 @@
+"""Round-7 (optimization round) pins.
+
+Every optimization this round must leave declared-query RESULTS identical;
+these tests pin the bit-exactness claims at the operator level:
+
+- functions/hashing.py numpy XXH64 == Spark's `xxhash64` expression on
+  every code path the sketches use (string with int-literal seed chain,
+  long pairs, aggregate fold) — property-tested against Spark itself;
+- the rewritten single-pass simhash / minhash kernels == the retained
+  `_expr` twins (the pre-r7 Catalyst pipelines) row-for-row on the gate
+  testdata plus adversarial edge docs;
+- the rewritten hyperplane-LSH bucket kernel == the pre-r7 Catalyst
+  expression (sequential float64 summation order is preserved, so sign
+  bits cannot differ);
+- embedding_neardup_pairs == a reference implementation using the pre-r7
+  Catalyst cosine verify, pair set AND float64 cosine values.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from iresearch_spark.functions.dedup import (
+    _minhash_signatures_expr,
+    _simhash_expr,
+    minhash_signatures,
+    simhash,
+)
+from iresearch_spark.functions.hashing import (
+    xxhash64_bytes,
+    xxhash64_int,
+    xxhash64_long,
+    xxhash64_long_pair,
+)
+
+EDGE_DOCS = [
+    (1, None),
+    (2, ""),
+    (3, "   \t\n"),
+    (4, "one"),
+    (5, "two tokens"),
+    (6, "three whole tokens here"),
+    (7, "exactly five tokens right here now"[:34]),
+    (8, "a b c d e"),
+    (9, "a a a a a a a a"),
+    (10, "MIXED Case_Tokens with-Punct!and;semis"),
+    (11, "x" * 500),
+    (12, " ".join(f"tok{i}" for i in range(300))),
+    (13, "unicode naïve café 東京 berlin"),
+    (14, "1234 5678 _under_score_ 90ab"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+# --------------------------------------------------------------- hashing
+
+
+def test_xxhash64_string_paths_vs_spark(spark):
+    rng = random.Random(7)
+    toks = ["", "a", "x" * 7, "y" * 8, "hello_world", "z" * 31, "w" * 32,
+            "v" * 33, "q" * 64, "r" * 100, "naïve", "東京テスト", "mixed_токен"]
+    toks += [
+        "".join(rng.choices(string.ascii_lowercase + string.digits + "_",
+                            k=rng.randrange(1, 45)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    # chained int-literal seed (the sketch operators' form)
+    exp = [r[0] for r in df.select(F.xxhash64(F.lit(42), F.col("t"))).collect()]
+    seed1 = xxhash64_int(np.array([42]), 42).astype(np.uint64)[0]
+    assert list(xxhash64_bytes(toks, seed1)) == exp
+    # plain default-seed string hash
+    exp2 = [r[0] for r in df.select(F.xxhash64(F.col("t"))).collect()]
+    assert list(xxhash64_bytes(toks, 42)) == exp2
+
+
+def test_xxhash64_long_paths_vs_spark(spark):
+    rng = random.Random(8)
+    la = np.array([rng.randrange(-(2**63), 2**63) for _ in range(200)], dtype=np.int64)
+    lb = np.array([rng.randrange(-(2**63), 2**63) for _ in range(200)], dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(la, lb)], "a long, b long"
+    )
+    assert list(xxhash64_long(la, 42)) == [
+        r[0] for r in df.select(F.xxhash64("a")).collect()
+    ]
+    assert list(xxhash64_long_pair(la, lb)) == [
+        r[0] for r in df.select(F.xxhash64("a", "b")).collect()
+    ]
+    # the aggregate fold used by the whole-doc minhash gram
+    arrs = [
+        [rng.randrange(-(2**60), 2**60) for _ in range(rng.randrange(0, 6))]
+        for _ in range(40)
+    ]
+    adf = spark.createDataFrame([(a,) for a in arrs], "arr array<long>")
+    exp = [
+        r[0]
+        for r in adf.select(
+            F.aggregate("arr", F.lit(42).cast("long"), lambda a, x: F.xxhash64(a, x))
+        ).collect()
+    ]
+    got = []
+    for a in arrs:
+        acc = np.int64(42)
+        for x in a:
+            acc = xxhash64_long_pair(
+                np.array([acc]), np.array([x], dtype=np.int64)
+            )[0]
+        got.append(int(acc))
+    assert got == exp
+
+
+# --------------------------------------------------------------- sketches
+
+
+def _rows(df, key):
+    return sorted((tuple(r) for r in df.collect()), key=lambda t: t[: key])
+
+
+@pytest.mark.parametrize("hash_fn,bits", [("xxhash64", 64), ("md5_32", 32)])
+def test_simhash_fast_equals_expr(spark, docs, edge_df, hash_fn, bits):
+    for d in (docs, edge_df):
+        fast = {r["id"]: r["simhash"] for r in simhash(d, bits=bits, hash_fn=hash_fn).collect()}
+        ref = {r["id"]: r["simhash"] for r in _simhash_expr(d, bits=bits, hash_fn=hash_fn).collect()}
+        assert fast == ref
+
+
+@pytest.mark.parametrize("shingle", [2, 5])
+def test_minhash_fast_equals_expr(spark, docs, edge_df, shingle):
+    for d in (docs, edge_df):
+        fast = {
+            r["id"]: tuple(r["signature"])
+            for r in minhash_signatures(d, shingle=shingle).collect()
+        }
+        ref = {
+            r["id"]: tuple(r["signature"])
+            for r in _minhash_signatures_expr(d, shingle=shingle).collect()
+        }
+        assert fast == ref
+
+
+# ------------------------------------------------------- embedding kernels
+
+
+def _dot_lit_ref(vec_col, q):
+    ql = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(
+            F.transform(vec_col, lambda v: v.cast("double")),
+            ql,
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def test_hyperplane_buckets_bit_identical(spark, sf_dir):
+    from iresearch_spark.functions.similarity import _planes, hyperplane_lsh_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    # pre-r7 Catalyst formulation, reproduced verbatim
+    planes = _planes(dim, 12, 42)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = (_dot_lit_ref(F.col("embedding"), p) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    ref = {r["vec_id"]: r["bucket"] for r in emb.withColumn("bucket", bucket).collect()}
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in hyperplane_lsh_buckets(emb, dim, 12, 42).collect()
+    }
+    assert got == ref
+
+
+def test_embedding_neardup_pairs_identical(spark, sf_dir):
+    from iresearch_spark.functions.similarity import (
+        _f64,
+        _norm,
+        embedding_neardup_pairs,
+        hyperplane_lsh_buckets,
+        release_cached,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    aug = emb.select("vec_id", "embedding").unionAll(
+        emb.where("vec_id < 40").select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    out = embedding_neardup_pairs(aug, dim, threshold=0.999, n_planes=8, multiprobe_bits=1)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    release_cached(out)
+
+    # pre-r7 reference: Catalyst bucket + candidate join + Catalyst cosine
+    bucketed = hyperplane_lsh_buckets(aug, dim, 8, 42).select(
+        F.col("vec_id").alias("id"), "embedding", "bucket"
+    )
+    probes = [0] + [1 << i for i in range(8)]
+    a = bucketed.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probes])
+        ).alias("bucket"),
+    )
+    b = bucketed.select(F.col("id").alias("id_b"), "bucket")
+    cands = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    withv = cands.join(
+        bucketed.select(F.col("id").alias("id_a"), F.col("embedding").alias("_va")),
+        "id_a",
+    ).join(
+        bucketed.select(F.col("id").alias("id_b"), F.col("embedding").alias("_vb")),
+        "id_b",
+    )
+    dot = F.aggregate(
+        F.zip_with(_f64(F.col("_va")), _f64(F.col("_vb")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    ref_df = (
+        withv.withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.999)
+        .select("id_a", "id_b", "cosine")
+    )
+    ref = {(r["id_a"], r["id_b"]): r["cosine"] for r in ref_df.collect()}
+    assert got == ref  # pair set AND exact float64 cosines
