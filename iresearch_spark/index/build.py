@@ -221,6 +221,10 @@ def assign_doc_ids(
     # expose it so callers (build_segment) can unpersist once their own
     # persist of the result is materialized
     out._ir_cached_input = keyed  # type: ignore[attr-defined]
+    # total row count fell out of the per-partition count collect for
+    # free — callers (build_segment) use it to size joins/broadcasts
+    # without another job
+    out._ir_n_docs = acc - start  # type: ignore[attr-defined]
     return out
 
 

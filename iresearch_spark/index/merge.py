@@ -258,6 +258,7 @@ def build_doc_map(
     store: IndexStore,
     seg_names: list[str],
     tombstones: DataFrame | None = None,
+    aggs: dict | None = None,
 ) -> DataFrame:
     """(segment, doc_id) -> new_doc.
 
@@ -352,7 +353,7 @@ def build_doc_map(
         )
         out._ir_cached_input = keyed  # type: ignore[attr-defined]
         return out
-    shifts = docmap_shift_spec(spark, store, seg_names)
+    shifts = docmap_shift_spec(spark, store, seg_names, aggs)
     base_map = F.create_map(*[F.lit(x) for s, sh in shifts.items() for x in (s, sh)])
     return docs.withColumn("new_doc", F.col("doc_id") + base_map[F.col("segment")])
 
@@ -451,7 +452,10 @@ def merge_segments(
             tombstones = None
 
     blocks = store.read_union(spark, "postings", seg_names)
-    seg_cols = {s: store.read(spark, s, "postings").columns for s in seg_names}
+    # parquet-footer schema probe (pyarrow) instead of one spark.read per
+    # segment: 10-way merges paid ~10 file-listing + schema-inference
+    # round-trips just to learn column sets (r7; guide §1.2 fixed-overhead)
+    seg_cols = {s: store.table_columns(spark, s, "postings") for s in seg_names}
     seg_has_pos = {s: "pos_bin" in c for s, c in seg_cols.items()}
     seg_has_off = {s: "off_bin" in c for s, c in seg_cols.items()}
     seg_has_pay = {s: "pay_bin" in c for s, c in seg_cols.items()}
@@ -470,12 +474,31 @@ def merge_segments(
                 "rebuild members consistently or merge like with like"
             )
 
-    doc_map = build_doc_map(spark, store, seg_names, tombstones).persist()
-
-    # ---- join-free remap spec for the kernel path; derived from the SAME
-    # docmap aggregates build_doc_map uses, so postings and docmap can
-    # never disagree on the remap ----
-    aggs = docmap_aggs(spark, store, seg_names)
+    # ---- docmap aggregates computed ONCE (r7 — build_doc_map previously
+    # recomputed them internally, doubling the aggregate job), and taken
+    # from the MANIFEST when every member records its id range (SegmentMeta
+    # docs_total/min_doc/max_doc are exactly docmap's count/min/max — the
+    # aggregate job is redundant for post-r4 segments); the remap spec and
+    # the doc-map derive from the SAME numbers, so postings and docmap can
+    # never disagree ----
+    metas = [by_name[s] for s in seg_names]
+    if all(m.max_doc >= m.min_doc and m.max_doc >= 0 for m in metas if m.docs_total):
+        aggs = {
+            m.name: {"n": m.docs_total, "lo": m.min_doc, "hi": m.max_doc}
+            for m in metas
+            if m.docs_total
+        }
+    else:
+        aggs = docmap_aggs(spark, store, seg_names)
+    # with no tombstones the doc map is a pure base-shift expression —
+    # materializing + joining it is a full shuffle of every docmap row for
+    # what a create_map projection computes inline (r7; guide §2.4);
+    # doc_map stays None and the docmap write below shifts directly
+    doc_map = (
+        build_doc_map(spark, store, seg_names, tombstones, aggs).persist()
+        if tombstones is not None
+        else None
+    )
     dels_by_seg: dict[str, np.ndarray] = {}
     shift_by_seg: dict[str, int] = {}
     # force_flat exists to BENCHMARK the legacy flat pipeline against the
@@ -552,6 +575,8 @@ def merge_segments(
                 "id ranges are not dense); split the merge or compact "
                 "tombstones first"
             )
+        if doc_map is None:  # flat path keeps its join-based remap
+            doc_map = build_doc_map(spark, store, seg_names, None, aggs).persist()
         flat = (
             unpack_postings(blocks, with_positions)
             .join(doc_map, ["segment", "doc_id"])
@@ -577,15 +602,32 @@ def merge_segments(
     # the docID remap; no separate doclen table is written (store.read
     # projects doclen out of docmap, exactly like built segments)
     docmaps = store.read_union(spark, "docmap", seg_names)
-    docmaps.join(doc_map, ["segment", "doc_id"]).drop("doc_id", "segment").withColumnRenamed(
-        "new_doc", "doc_id"
+    keep_cols = [c for c in docmaps.columns if c not in ("doc_id", "segment")]
+    if doc_map is None:
+        # no tombstones: identical output to the join (new_doc = doc_id +
+        # shift[segment]) without shuffling the docmap
+        base_map = F.create_map(
+            *[F.lit(x) for s, sh in shift_by_seg.items() for x in (s, sh)]
+        )
+        new_docmap = docmaps.select(
+            *keep_cols,
+            (F.col("doc_id") + base_map[F.col("segment")]).alias("doc_id"),
+        )
+    else:
+        new_docmap = docmaps.join(doc_map, ["segment", "doc_id"]).select(
+            *keep_cols, F.col("new_doc").alias("doc_id")
+        )
+    from iresearch_spark.index.segments import _sized_for_write
+
+    _sized_for_write(
+        new_docmap, sum(a["n"] for a in aggs.values())
     ).write.mode("overwrite").parquet(store.seg_path(new_name, "docmap"))
     # lineage: XOR-combine member partitions (XOR of XORs is the union hash)
     store.read_union(spark, "lineage", seg_names).groupBy("part").agg(
         F.sum("doc_count").alias("doc_count"),
         F.sum("bytes").alias("bytes"),
         F.expr("bit_xor(input_hash)").alias("input_hash"),
-    ).write.mode("overwrite").parquet(store.seg_path(new_name, "lineage"))
+    ).coalesce(1).write.mode("overwrite").parquet(store.seg_path(new_name, "lineage"))
 
     agg = (
         store.read(spark, new_name, "docmap")
@@ -610,10 +652,11 @@ def merge_segments(
         max_doc=int(agg["hi"]),
         max_dl=int(agg["mx"]),
     )
-    doc_map.unpersist()
-    inner = getattr(doc_map, "_ir_cached_input", None)
-    if inner is not None:  # tombstone-path range-partition cache (r3 ADVICE leak)
-        inner.unpersist()
+    if doc_map is not None:
+        doc_map.unpersist()
+        inner = getattr(doc_map, "_ir_cached_input", None)
+        if inner is not None:  # tombstone-path range-partition cache (r3 ADVICE leak)
+            inner.unpersist()
 
     if commit:
         m = store.current()

@@ -204,6 +204,21 @@ class IndexStore:
             )
         return spark.read.parquet(self.seg_path(seg, table))
 
+    def table_columns(self, spark: SparkSession, seg: str, table: str) -> list[str]:
+        """Column names of a committed segment table from the parquet
+        footer (pyarrow) — a schema probe without a spark.read per call
+        (merge reads K of these just to detect stream mixes; the Spark
+        path pays file-listing + schema-inference per segment)."""
+        import glob
+
+        path = self.seg_path(seg, table)
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if files:
+            import pyarrow.parquet as pq
+
+            return list(pq.read_schema(files[0]).names)
+        return self.read(spark, seg, table).columns
+
     def read_union(self, spark: SparkSession, table: str, segments=None) -> DataFrame:
         """Union of a table across segments with a `segment` column."""
         m = self.current()
@@ -313,6 +328,21 @@ def _lineage(docs: DataFrame, key_cols: list[str], text_col: str = "content") ->
     )
 
 
+def _sized_for_write(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Right-size small-table writes (docmap, lineage): a 50k-row docmap
+    written through 32 shuffle partitions produced 32 near-empty files,
+    and K-segment merges then paid 32*K-file listings+scan tasks on every
+    docmap read (guide §6 small-files). When the row count is known,
+    coalesce toward IR_DOCMAP_ROWS_PER_FILE rows/file (default 4M ~
+    a few hundred MB); unknown counts keep the planner's layout."""
+    import os as _os
+
+    if n_rows is None:
+        return df
+    per_file = int(_os.environ.get("IR_DOCMAP_ROWS_PER_FILE", "4000000"))
+    return df.coalesce(max(1, -(-n_rows // per_file)))
+
+
 def build_segment(
     spark: SparkSession,
     store: IndexStore,
@@ -341,9 +371,11 @@ def build_segment(
     key_cols = key_cols or ["repo", "path", "commit"]
 
     inner_cache = None
+    n_docs_known: int | None = None
     if doc_id_col is None:
         docs = assign_doc_ids(docs, key_cols, out_col="doc_id", start=1)
         inner_cache = getattr(docs, "_ir_cached_input", None)
+        n_docs_known = getattr(docs, "_ir_n_docs", None)
         doc_id_col = "doc_id"
     elif doc_id_col != "doc_id":
         docs = docs.withColumnRenamed(doc_id_col, "doc_id")
@@ -395,22 +427,32 @@ def build_segment(
     ident_cols = [c for c in docs.columns if c in ("repo", "path", "commit", "lang", "content_sha256", "source")]
     if partials is not None:
         dl_df = doclen_from_partials(partials)
-        docs.select("doc_id", *ident_cols).join(dl_df, "doc_id").select(
+        # the doclen side is (doc_id, len) — 16 B/doc; when the doc count
+        # is known (assign_doc_ids collected it anyway) and small enough,
+        # broadcast it so the docmap write shuffles NOTHING (guide §3.1 —
+        # without stats Spark picked a two-sided shuffle join here).
+        # Cluster scale keeps the shuffle join: cap parameterized via env.
+        bcast_max = int(os.environ.get("IR_DL_BCAST_MAX", "2000000"))
+        if n_docs_known is not None and n_docs_known <= bcast_max:
+            dl_df = F.broadcast(dl_df)
+        dm = docs.select("doc_id", *ident_cols).join(dl_df, "doc_id").select(
             "doc_id", "len", *ident_cols
-        ).write.mode("overwrite").parquet(store.seg_path(seg_name, "docmap"))
+        )
+        dm = _sized_for_write(dm, n_docs_known)
+        dm.write.mode("overwrite").parquet(store.seg_path(seg_name, "docmap"))
         partials.unpersist()
     else:
         dl_expr = F.size(
             F.filter(analyzer.raw_tokens(F.col(text_col)), lambda t: analyzer.keep(t))
         ).cast("int")
-        docs.select("doc_id", dl_expr.alias("len"), *ident_cols).write.mode(
-            "overwrite"
-        ).parquet(store.seg_path(seg_name, "docmap"))
+        _sized_for_write(
+            docs.select("doc_id", dl_expr.alias("len"), *ident_cols), n_docs_known
+        ).write.mode("overwrite").parquet(store.seg_path(seg_name, "docmap"))
     _lineage(
         docs,
         key_cols if all(c in docs.columns for c in key_cols) else ["doc_id"],
         text_col,
-    ).write.mode("overwrite").parquet(store.seg_path(seg_name, "lineage"))
+    ).coalesce(1).write.mode("overwrite").parquet(store.seg_path(seg_name, "lineage"))
 
     agg = (
         store.read(spark, seg_name, "docmap")
