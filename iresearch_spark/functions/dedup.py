@@ -135,6 +135,20 @@ def _shingles(text: Column, n: int, token_shingles: bool) -> Column:
 _TOKRX = r"[a-z0-9_]+"  # complement of the _tokens delimiter class
 
 
+def _widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Spread a narrow source over the cluster before a per-row kernel:
+    a single-file gate corpus arrives as ONE scan partition, so the whole
+    sketch kernel otherwise runs on one core (measured: the entire
+    gate_ngram_jaccard cost at driver scale). The repartition shuffles
+    only (id, text) rows and is skipped when the scan is already as wide
+    as the default parallelism (the corpus-scale case, where adding a
+    full-text shuffle would cost more than it buys)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _seed_chain(seed: int):
     """The running hash after Spark's xxhash64 consumed `F.lit(seed)`:
     IntegerType literal -> hashInt path; LongType literal -> hashLong
@@ -274,8 +288,8 @@ def minhash_signatures(
                 i = j
             yield pd.DataFrame({"id": ids, "signature": list(out)})
 
-    return df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    return _widen_if_narrow(
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
     ).mapInPandas(fn, "id long, signature array<long>")
 
 
@@ -569,8 +583,8 @@ def simhash(
             )
             yield pd.DataFrame({"id": ids[ne], "simhash": sk})
 
-    return df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    return _widen_if_narrow(
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
     ).mapInPandas(fn, "id long, simhash long")
 
 
@@ -841,20 +855,27 @@ def connected_components(
             msgs = e.join(
                 labels.select(F.col("id").alias("src"), "cluster_id"), "src"
             ).select(F.col("dst").alias("id"), "cluster_id")
-            new_labels = (
+            # ONE materializing job per round (r7; VERDICT r6 next-7): the
+            # new labels AND the changed flag checkpoint together, so
+            # convergence detection is a near-free scan of the cached
+            # partitions instead of a re-executed shuffle join per round
+            merged = (
                 labels.unionByName(msgs)
                 .groupBy("id")
                 .agg(F.min("cluster_id").alias("cluster_id"))
+                .join(labels.select("id", F.col("cluster_id").alias("_old")), "id", "left")
+                # left + coalesce(False): an id surfacing only via msgs
+                # (edge endpoint outside `vertices`) keeps its label but
+                # never counts as changed — exactly the old inner-join
+                # changed-count semantics
+                .withColumn(
+                    "_ch", F.coalesce(F.col("cluster_id") != F.col("_old"), F.lit(False))
+                )
+                .select("id", "cluster_id", "_ch")
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            labels = merged.select("id", "cluster_id")
+            if merged.where("_ch").limit(1).count() == 0:
                 break
         else:
             raise RuntimeError(
@@ -872,6 +893,7 @@ def neardup_clusters(
     shingle: int = 2,
     lsh_threshold: float = 0.5,
     verify_threshold: float = 0.8,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS — the pipeline stage after pair generation:
     MinHash-LSH candidates -> exact n-gram-Jaccard verify -> connected
@@ -901,6 +923,7 @@ def neardup_clusters(
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         df.select(id_col),
         id_col=id_col,
+        max_iter=max_iter,
     )
     # label propagation ran to convergence above (its checkpoints hold the
     # result), so the signature/candidate caches the pair builders

@@ -445,7 +445,13 @@ def build_registry() -> dict[str, dict]:
         from iresearch_spark.functions import simhash_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return simhash_pairs(docs).orderBy("id_a", "id_b")
+        out = simhash_pairs(docs)
+        ordered = out.orderBy("id_a", "id_b")
+        # re-attach the builder's persist handle so the gate runner's
+        # release_cached() finds it (r6 ADVICE: orderBy dropped it and the
+        # persisted sketch leaked per invocation)
+        ordered._ir_cached_input = getattr(out, "_ir_cached_input", None)
+        return ordered
 
     def _lsh_ann(spark, sf_dir):
         """Hyperplane-LSH ANN, gated as a DuckDB-verifiable PROPERTY row
@@ -620,8 +626,9 @@ def build_registry() -> dict[str, dict]:
     # --- driver-window ROTATION (r5 VERDICT next-2): the driver emits
     # only the first ~50 insertion-ordered entries per round, so a fixed
     # ordering would leave the same 10 entries permanently outside the
-    # per-round hard oracle (the r4 failure mode). The 20 entries of
-    # ROTATION_POOL — every one pinned by its own pytest oracle twin —
+    # per-round hard oracle (the r4 failure mode). The 26 entries of
+    # ROTATION_POOL_A + ROTATION_POOL_B (13 per half) — every one pinned
+    # by its own pytest oracle twin —
     # alternate halves each round as a deterministic function of the round
     # number (parity of max CORRECTNESS_r*.json + 1, overridable via
     # IRS_GATE_ROUND), so EVERY registry entry gets a driver CORRECTNESS

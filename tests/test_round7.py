@@ -246,3 +246,91 @@ def test_embedding_neardup_pairs_identical(spark, sf_dir):
     )
     ref = {(r["id_a"], r["id_b"]): r["cosine"] for r in ref_df.collect()}
     assert got == ref  # pair set AND exact float64 cosines
+
+
+# ------------------------------------------------- tombstone mask tiers
+
+
+def test_tombstone_broadcast_tier_keeps_pooling(spark, sf_dir, tmp_path, monkeypatch):
+    """r6 VERDICT next-1: when tombstones exceed MAX_INLINE_TOMBSTONES the
+    mask must ride a Spark broadcast INTO the kernels (pooling + WAND stay
+    on) instead of disabling kernel top-k and anti-joining afterwards.
+    Pins: (a) all three tiers (closure array / broadcast / anti-join
+    fallback) return identical results for term, boolean, min-match and
+    batched queries; (b) the broadcast tier reports the kernel-visible
+    mask (pooling and pruning stay enabled); (c) a direct kernel run with
+    a Broadcast mask prunes blocks and pools to k with results equal to
+    the exhaustive kernel."""
+    import iresearch_spark.search.executor as X
+    from iresearch_spark.index.segments import IndexStore, build_segment
+    from iresearch_spark.search import Or, SearchEngine, Term
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = IndexStore(str(tmp_path / "ix"))
+    build_segment(spark, store, docs, "s0", text_col="text", doc_id_col="doc_id")
+    victims = docs.where("doc_id % 7 = 0").select(
+        F.lit("s0").alias("segment"), F.col("doc_id")
+    )
+    store.remove(spark, victims)
+
+    stats = SearchEngine(spark, store).term_stats.orderBy(
+        F.desc("doc_freq"), F.asc("term")
+    ).limit(3).collect()
+    hi, med = stats[0]["term"], stats[1]["term"]
+    queries = {
+        "t": Term(hi),
+        "or": Or((Term(hi), Term(med))),
+        "mm": Or((Term(hi), Term(med), Term(stats[2]["term"])), min_match=2),
+    }
+
+    def run_all(eng):
+        out = {n: [tuple(r) for r in eng.topk(q, 10).collect()] for n, q in queries.items()}
+        out["batch"] = [
+            tuple(r) for r in eng.topk_batch(queries, 10).collect()
+        ]
+        return out
+
+    eng_arr = SearchEngine(spark, store)
+    assert eng_arr._deleted_arr is not None and eng_arr._deleted_inline
+    ref = run_all(eng_arr)
+
+    monkeypatch.setattr(X, "MAX_INLINE_TOMBSTONES", 0)
+    eng_bc = SearchEngine(spark, store)
+    assert eng_bc._deleted_bcast is not None and eng_bc._deleted_inline
+    assert eng_bc._kernel_deleted is eng_bc._deleted_bcast  # kernels see it
+    assert run_all(eng_bc) == ref
+
+    monkeypatch.setattr(X, "MAX_BCAST_TOMBSTONES", 0)
+    eng_aj = SearchEngine(spark, store)
+    assert not eng_aj._deleted_inline  # anti-join fallback tier
+    assert run_all(eng_aj) == ref
+
+    # (c) kernel granularity: Broadcast mask + pruning + pooling active
+    blocks = (
+        eng_arr.postings.where(F.col("term") == hi)
+        .select(*eng_arr.SCAN_COLS)
+        .toPandas()
+    )
+    dfreq = stats[0]["doc_freq"]
+    sc = eng_arr.scorer.prepare(eng_arr.field, dfreq, 1.0)
+    bc = spark.sparkContext.broadcast(eng_arr._deleted_arr)
+    results = {}
+    for prune in (True, False):
+        counters = {}
+        kern = X._topk_sums_kernel(
+            {hi: sc}, {hi: 0.0}, eng_arr.seg_base, k=10, min_match=1,
+            const_add=0.0, merge="sum", mode=eng_arr.final_mode,
+            deleted=bc, grouped=False, prune=prune, counters=counters,
+        )
+        frames = list(kern(iter([blocks])))
+        rows = sorted(
+            map(tuple, frames[0][["gdoc", "score"]].to_numpy().tolist())
+        ) if frames else []
+        results[prune] = rows
+        assert counters.get("blocks", 0) > 0
+        if frames:
+            assert len(frames[0]) <= 10  # pool bounded emission to k
+    assert results[True] == results[False]
+    # no masked doc survives
+    dels = set(eng_arr._deleted_arr.tolist())
+    assert all(g not in dels for g, _ in results[True])
