@@ -162,6 +162,114 @@ def main() -> None:
         print(json.dumps({"stage": "emb_neardup_n", "n": n}), flush=True)
         emb.unpersist()
 
+    if which == "batchwand":
+        # r6 VERDICT next-5: MEASURE the "all-subscriber bound almost never
+        # fires" claim behind topk_batch's no-block-max choice. For batch
+        # widths 4/8/24 over the big tier: per (block, subscribed-query)
+        # pair, is bound(block leg) + other-legs-ub < the query's FINAL
+        # k-th score (the loosest threshold any partition could ever
+        # prune with)? And per block, do ALL subscribers fail (the only
+        # case the batch kernel could skip the decode)?
+        import numpy as np
+
+        from iresearch_spark.index.segments import IndexStore, build_segment
+        from iresearch_spark.search import (
+            And, Fuzzy, Or, Phrase, Prefix, SearchEngine, Term, Wildcard,
+        )
+
+        broot = tempfile.mkdtemp(prefix="irbw_")
+        bstore = IndexStore(broot)
+        bcorpus = generate_corpus(spark, n_docs, seed=43, burstiness=0.1).persist()
+        bcorpus.count()
+        build_segment(spark, bstore, bcorpus, "big0")
+        bcorpus.unpersist()
+        beng = SearchEngine(spark, bstore)
+        beng.prepare_dictionary()
+        beng.pin_postings()
+        from pyspark.sql import functions as F2
+
+        bstats = (
+            beng.term_stats.orderBy(F2.desc("doc_freq"), F2.asc("term"))
+            .select("term", "doc_freq").collect()
+        )
+        bterms = [(r["term"], r["doc_freq"]) for r in bstats]
+        bhigh = next(t for t, _ in bterms if t not in ("call", "x"))
+        bmed = next(
+            (t for t, df in bterms if df <= bterms[0][1] / 10),
+            bterms[len(bterms) // 10][0],
+        )
+        big_cases = {
+            "mt": Term(bmed), "ht": Term(bhigh),
+            "and": And((Term(bhigh), Term(bmed))),
+            "or": Or((Term(bhigh), Term(bmed))),
+            "pre": Prefix(bmed[:3]), "wild": Wildcard(f"{bmed[:2]}*"),
+            "fz": Fuzzy(bhigh, distance=1),
+        }
+        k = 10
+        for width in (4, 8, 24):
+            names = list(big_cases)[: min(width, len(big_cases))]
+            batch = {
+                f"{nm}#{i}": big_cases[nm]
+                for i in range((width + len(names) - 1) // len(names))
+                for nm in names
+            }
+            batch = dict(list(batch.items())[:width])
+            # final k-th transformed score per query (the loosest usable
+            # threshold) + each query's expansion/bounds via _query_spec
+            specs, thrs = {}, {}
+            for qn, node in batch.items():
+                from iresearch_spark.search.query import normalize
+
+                spec = beng._query_spec(normalize(node))
+                if spec is None or spec[4] is not None:
+                    continue
+                specs[qn] = spec
+                rows = beng.topk(node, k).collect()
+                thrs[qn] = min(r["score"] for r in rows) if len(rows) == k else float("-inf")
+            term_subs = {}
+            for qn, (scorers, mm, const, merge, _) in specs.items():
+                ubs = {t: sc.term_ub() for t, sc in scorers.items()}
+                tot = sum(ubs.values())
+                for t, sc in scorers.items():
+                    term_subs.setdefault(t, []).append(
+                        (qn, sc, tot - ubs[t], const)
+                    )
+            blocks = (
+                beng.postings.where(F2.col("term").isin(*list(term_subs)))
+                .select("term", "max_tf", "min_dl").toPandas()
+            )
+            pair_total = pair_skip = 0
+            block_total = block_all_skip = 0
+            for t, grp in blocks.groupby("term"):
+                subs = term_subs.get(t, [])
+                if not subs:
+                    continue
+                mt = grp["max_tf"].to_numpy()
+                md = grp["min_dl"].to_numpy()
+                all_skip = np.ones(len(grp), dtype=bool)
+                for qn, sc, other, const in subs:
+                    bound = sc.scores(
+                        mt.astype(sc.dtype), md.astype(sc.dtype)
+                    ).astype(np.float64) + other + const
+                    bound = np.float32(bound).astype(np.float64)
+                    skip = bound < thrs[qn]
+                    pair_total += len(grp)
+                    pair_skip += int(skip.sum())
+                    all_skip &= skip
+                block_total += len(grp)
+                block_all_skip += int(all_skip.sum())
+            print(json.dumps({
+                "stage": f"batchwand_w{width}",
+                "queries_batched": len(specs),
+                "block_query_pairs": pair_total,
+                "pairs_skippable_pct": round(100 * pair_skip / max(1, pair_total), 1),
+                "blocks": block_total,
+                "blocks_all_subscribers_skippable_pct": round(
+                    100 * block_all_skip / max(1, block_total), 1
+                ),
+            }), flush=True)
+        shutil.rmtree(broot, ignore_errors=True)
+
     if which in ("merge", "build", "gate", "all"):
         from iresearch_spark.index.merge import merge_segments
         from iresearch_spark.index.segments import IndexStore, build_segment
