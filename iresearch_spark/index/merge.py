@@ -592,11 +592,13 @@ def merge_segments(
 
     packed.write.mode("overwrite").parquet(store.seg_path(new_name, "postings"))
     packed_disk = spark.read.parquet(store.seg_path(new_name, "postings"))
-    term_stats_from_packed(packed_disk).repartition(
-        max(1, n_part // 4), "term"
-    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
-        store.seg_path(new_name, "term_stats")
-    )
+
+    def _write_term_stats():
+        term_stats_from_packed(packed_disk).repartition(
+            max(1, n_part // 4), "term"
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+            store.seg_path(new_name, "term_stats")
+        )
 
     # docmap: source identity (and `len` -> the doclen projection) follows
     # the docID remap; no separate doclen table is written (store.read
@@ -619,15 +621,30 @@ def merge_segments(
         )
     from iresearch_spark.index.segments import _sized_for_write
 
-    _sized_for_write(
-        new_docmap, sum(a["n"] for a in aggs.values())
-    ).write.mode("overwrite").parquet(store.seg_path(new_name, "docmap"))
-    # lineage: XOR-combine member partitions (XOR of XORs is the union hash)
-    store.read_union(spark, "lineage", seg_names).groupBy("part").agg(
-        F.sum("doc_count").alias("doc_count"),
-        F.sum("bytes").alias("bytes"),
-        F.expr("bit_xor(input_hash)").alias("input_hash"),
-    ).coalesce(1).write.mode("overwrite").parquet(store.seg_path(new_name, "lineage"))
+    def _write_docmap():
+        _sized_for_write(
+            new_docmap, sum(a["n"] for a in aggs.values())
+        ).write.mode("overwrite").parquet(store.seg_path(new_name, "docmap"))
+
+    def _write_lineage():
+        # lineage: XOR-combine member partitions (XOR of XORs = union hash)
+        store.read_union(spark, "lineage", seg_names).groupBy("part").agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("bytes").alias("bytes"),
+            F.expr("bit_xor(input_hash)").alias("input_hash"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            store.seg_path(new_name, "lineage")
+        )
+
+    # independent side tables overlap from driver threads (guide §2.6),
+    # same as build_segment
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fu in [
+            pool.submit(f) for f in (_write_term_stats, _write_docmap, _write_lineage)
+        ]:
+            fu.result()
 
     agg = (
         store.read(spark, new_name, "docmap")

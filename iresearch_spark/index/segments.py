@@ -340,7 +340,10 @@ def _sized_for_write(df: DataFrame, n_rows: int | None) -> DataFrame:
     if n_rows is None:
         return df
     per_file = int(_os.environ.get("IR_DOCMAP_ROWS_PER_FILE", "4000000"))
-    return df.coalesce(max(1, -(-n_rows // per_file)))
+    # repartition, NOT coalesce: coalesce(1) would collapse the whole
+    # upstream (join/union + projection) into one task; the round-robin
+    # exchange of these small rows is cheap and keeps the compute parallel
+    return df.repartition(max(1, -(-n_rows // per_file)))
 
 
 def build_segment(
@@ -414,11 +417,14 @@ def build_segment(
         inner_cache.unpersist()
 
     packed_on_disk = spark.read.parquet(store.seg_path(seg_name, "postings"))
-    term_stats_from_packed(packed_on_disk).repartition(
-        max(1, n_part // 4), "term"
-    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
-        store.seg_path(seg_name, "term_stats")
-    )
+
+    def _write_term_stats():
+        term_stats_from_packed(packed_on_disk).repartition(
+            max(1, n_part // 4), "term"
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+            store.seg_path(seg_name, "term_stats")
+        )
+
     # docmap carries the doc length (`len`) so no separate doclen table is
     # written — IndexStore.read(seg, "doclen") projects it back out. On the
     # combiner path the lengths come from the cached partials' doclen
@@ -438,21 +444,38 @@ def build_segment(
         dm = docs.select("doc_id", *ident_cols).join(dl_df, "doc_id").select(
             "doc_id", "len", *ident_cols
         )
-        dm = _sized_for_write(dm, n_docs_known)
-        dm.write.mode("overwrite").parquet(store.seg_path(seg_name, "docmap"))
-        partials.unpersist()
     else:
         dl_expr = F.size(
             F.filter(analyzer.raw_tokens(F.col(text_col)), lambda t: analyzer.keep(t))
         ).cast("int")
-        _sized_for_write(
-            docs.select("doc_id", dl_expr.alias("len"), *ident_cols), n_docs_known
-        ).write.mode("overwrite").parquet(store.seg_path(seg_name, "docmap"))
-    _lineage(
-        docs,
-        key_cols if all(c in docs.columns for c in key_cols) else ["doc_id"],
-        text_col,
-    ).coalesce(1).write.mode("overwrite").parquet(store.seg_path(seg_name, "lineage"))
+        dm = docs.select("doc_id", dl_expr.alias("len"), *ident_cols)
+
+    def _write_docmap():
+        _sized_for_write(dm, n_docs_known).write.mode("overwrite").parquet(
+            store.seg_path(seg_name, "docmap")
+        )
+
+    def _write_lineage():
+        _lineage(
+            docs,
+            key_cols if all(c in docs.columns for c in key_cols) else ["doc_id"],
+            text_col,
+        ).coalesce(1).write.mode("overwrite").parquet(store.seg_path(seg_name, "lineage"))
+
+    # the three side tables are independent (postings are on disk, docs +
+    # partials are cached): submit them from driver threads so each job's
+    # task tail back-fills the others' idle cores (guide §2.6) instead of
+    # paying three sequential job latencies
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(f) for f in (_write_term_stats, _write_docmap, _write_lineage)
+        ]
+        for fu in futs:
+            fu.result()
+    if partials is not None:
+        partials.unpersist()
 
     agg = (
         store.read(spark, seg_name, "docmap")
