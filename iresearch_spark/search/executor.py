@@ -139,6 +139,12 @@ import os as _os
 
 MAX_BCAST_TOMBSTONES = int(_os.environ.get("IR_MAX_BCAST_TOMBSTONES", "50000000"))
 
+# block-max pruning is disabled above this many scored legs: a sum-merge
+# bound over W legs includes the other W-1 legs' whole-list upper bounds,
+# so its selectivity decays to zero with width while its per-block cost
+# grows — measured net-negative from a few hundred legs (see _hits_scan)
+WAND_MAX_LEGS = int(_os.environ.get("IR_WAND_MAX_LEGS", "64"))
+
 
 def _transform_arr(mode: str, a: np.ndarray) -> np.ndarray:
     if mode == "f32":
@@ -170,6 +176,31 @@ def _resolve_deleted(deleted):
     if deleted is None or isinstance(deleted, np.ndarray):
         return deleted
     return deleted.value
+
+
+def _decode_block_group(docs_bins, tfs_bins, dls_bins, seg_shift: int):
+    """Segmented decode of MANY packed blocks at once (r7): one varint
+    pass per stream for a whole (segment, chunk) group instead of three
+    decodes per block in a Python loop — the merge `_unpack_kernel`
+    pattern applied to the query kernels. Per-block value counts come
+    from the doc stream's varint terminator bytes (high bit clear), so no
+    doc_count column is needed. Returns (docs int64 + seg_shift,
+    tfs uint64, dls uint64, counts per block)."""
+    n_blk = len(docs_bins)
+    cat = b"".join(docs_bins)
+    u8 = np.frombuffer(cat, dtype=np.uint8)
+    lens = np.fromiter((len(b) for b in docs_bins), np.int64, count=n_blk)
+    starts_b = np.cumsum(lens) - lens
+    counts = np.add.reduceat((u8 < 128).astype(np.int64), starts_b)
+    ddeltas = varint_decode(u8).astype(np.int64)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    cs = np.cumsum(ddeltas)
+    st = bounds[:-1]
+    carry = cs[st] - ddeltas[st]  # delta cumsum resets at each block start
+    docs = cs - carry[np.repeat(np.arange(n_blk), counts)] + seg_shift
+    tfs = varint_decode(b"".join(tfs_bins))
+    dls = varint_decode(b"".join(dls_bins))
+    return docs, tfs, dls, counts
 
 
 def _damerau(a: str, b: str) -> int:
@@ -374,6 +405,14 @@ def _topk_sums_kernel(
         out_n: list[np.ndarray] = []
         buf_docs: list[np.ndarray] = []
         buf_scores: list[np.ndarray] = []
+        # grouped mode buffers RAW streams; decode happens batched at
+        # flush (wide multiterm expansions put thousands of small blocks
+        # in one group — per-block decode in the row loop dominated)
+        buf_terms: list = []
+        buf_db: list = []
+        buf_tb: list = []
+        buf_lb: list = []
+        grp_shift = [0]
         cur_key: tuple | None = None
 
         def threshold() -> float | None:
@@ -381,12 +420,38 @@ def _topk_sums_kernel(
 
         def flush() -> None:
             nonlocal pool, thr
-            if not buf_docs:
-                return
-            docs = np.concatenate(buf_docs)
-            scores = np.concatenate(buf_scores)
-            buf_docs.clear()
-            buf_scores.clear()
+            if grouped:
+                if not buf_terms:
+                    return
+                # batched decode preserves row order exactly: streams
+                # concatenate in append order, scores scatter back to the
+                # same token positions — identical values and identical
+                # float summation order to the old per-block path
+                docs, tfs_u, dls_u, counts_b = _decode_block_group(
+                    buf_db, buf_tb, buf_lb, grp_shift[0]
+                )
+                codes, uniq = pd.factorize(
+                    np.asarray(buf_terms, dtype=object)
+                )
+                tok_codes = np.repeat(codes, counts_b)
+                scores = np.empty(docs.size, dtype=np.float64)
+                for ci, t in enumerate(uniq):
+                    sc = scorers.get(t, default_scorer)
+                    m = tok_codes == ci
+                    scores[m] = sc.scores(
+                        tfs_u[m].astype(sc.dtype), dls_u[m].astype(sc.dtype)
+                    ).astype(np.float64, copy=False)
+                buf_terms.clear()
+                buf_db.clear()
+                buf_tb.clear()
+                buf_lb.clear()
+            else:
+                if not buf_docs:
+                    return
+                docs = np.concatenate(buf_docs)
+                scores = np.concatenate(buf_scores)
+                buf_docs.clear()
+                buf_scores.clear()
             # reduce whenever rows are chunk-grouped: a doc can carry
             # blocks for several terms even when the SCORED dict has 0-1
             # entries (distributed unscored tail, tail_sel regime) — keying
@@ -455,8 +520,13 @@ def _topk_sums_kernel(
             tb = None
             if prune and k is not None:
                 tb = np.empty(n, dtype=np.float64)
-                for term in set(terms.tolist()):
-                    m = terms == term
+                # factorized per-term masks: integer compares instead of
+                # O(n_unique * n) object-array equality (r7 — a 1k-term
+                # wildcard expansion spent more in this loop than in the
+                # skipped decodes)
+                t_codes, t_uniq = pd.factorize(terms)
+                for ci, term in enumerate(t_uniq):
+                    m = t_codes == ci
                     sc_t = scorers.get(term, default_scorer)
                     blk = sc_t.scores(
                         maxtf[m].astype(sc_t.dtype), mindl[m].astype(sc_t.dtype)
@@ -481,10 +551,18 @@ def _topk_sums_kernel(
                     if key != cur_key:
                         flush()
                         cur_key = key
+                        grp_shift[0] = seg_base.get(segs[i], 0)
                 if tb is not None and tb[i] < thr:
                     if counters is not None:
                         counters["skipped"] = counters.get("skipped", 0) + 1
                     continue  # block-max skip (STRICT <)
+                if grouped:
+                    # defer decode to the batched flush
+                    buf_terms.append(terms[i])
+                    buf_db.append(docsb[i])
+                    buf_tb.append(tfsb[i])
+                    buf_lb.append(dlsb[i])
+                    continue
                 term = terms[i]
                 sc = scorers.get(term, default_scorer)
                 docs = delta_decode(varint_decode(docsb[i])).astype(
@@ -495,8 +573,7 @@ def _topk_sums_kernel(
                 leg = sc.scores(tfs, dls).astype(np.float64, copy=False)
                 buf_docs.append(docs)
                 buf_scores.append(leg)
-                if not grouped:
-                    flush()
+                flush()
         flush()
         if out_d:
             gd = np.concatenate(out_d)
@@ -557,21 +634,73 @@ def _batch_topk_kernel(
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
-        buf_qids: list[np.ndarray] = []
-        buf_docs: list[np.ndarray] = []
-        buf_scores: list[np.ndarray] = []
+        # raw streams buffered per (segment, chunk) group; decode happens
+        # batched at flush (r7 — same rewrite as _topk_sums_kernel)
+        buf_terms: list = []
+        buf_db: list = []
+        buf_tb: list = []
+        buf_lb: list = []
+        grp_shift = [0]
         cur_key: tuple | None = None
         any_nonsum = bool((mc_arr != 0).any())
 
         def flush() -> None:
-            if not buf_docs:
+            if not buf_terms:
                 return
-            docs = np.concatenate(buf_docs)
-            scores = np.concatenate(buf_scores)
-            qids = np.concatenate(buf_qids)
-            buf_docs.clear()
-            buf_scores.clear()
-            buf_qids.clear()
+            bdocs, tfs_u, dls_u, counts_b = _decode_block_group(
+                buf_db, buf_tb, buf_lb, grp_shift[0]
+            )
+            bounds = np.concatenate(([0], np.cumsum(counts_b)))
+            t_codes, t_uniq = pd.factorize(np.asarray(buf_terms, dtype=object))
+            tok_codes = np.repeat(t_codes, counts_b)
+            n_rows = len(buf_terms)
+            # scores per (term, subscriber) over the term's gathered token
+            # positions (buffer order preserved within each term); the
+            # emission loop below re-slices per row so the concatenated
+            # (docs, scores, qids) arrays are byte-for-byte the ones the
+            # old per-block path produced — identical float sum order
+            scores_by: dict = {}
+            for ci, t in enumerate(t_uniq):
+                pos = np.flatnonzero(tok_codes == ci)
+                cast: dict = {}
+                for qid, sc in term_qmap[t]:
+                    pair = cast.get(sc.dtype)
+                    if pair is None:
+                        pair = (
+                            tfs_u[pos].astype(sc.dtype),
+                            dls_u[pos].astype(sc.dtype),
+                        )
+                        cast[sc.dtype] = pair
+                    scores_by[(ci, qid)] = sc.scores(*pair).astype(
+                        np.float64, copy=False
+                    )
+            ofs = np.zeros(n_rows, dtype=np.int64)
+            seen = np.zeros(len(t_uniq), dtype=np.int64)
+            for i in range(n_rows):
+                ci = t_codes[i]
+                ofs[i] = seen[ci]
+                seen[ci] += counts_b[i]
+            parts_d: list = []
+            parts_s: list = []
+            parts_q: list = []
+            for i in range(n_rows):
+                ci = t_codes[i]
+                d = bdocs[bounds[i] : bounds[i + 1]]
+                for qid, _sc in term_qmap[t_uniq[ci]]:
+                    parts_d.append(d)
+                    parts_s.append(
+                        scores_by[(ci, qid)][ofs[i] : ofs[i] + counts_b[i]]
+                    )
+                    parts_q.append(np.full(d.size, qid, dtype=np.int64))
+            buf_terms.clear()
+            buf_db.clear()
+            buf_tb.clear()
+            buf_lb.clear()
+            if not parts_d:
+                return
+            docs = np.concatenate(parts_d)
+            scores = np.concatenate(parts_s)
+            qids = np.concatenate(parts_q)
             order = np.lexsort((docs, qids))
             docs, scores, qids = docs[order], scores[order], qids[order]
             bounds = np.flatnonzero(
@@ -636,24 +765,13 @@ def _batch_topk_kernel(
                 if key != cur_key:
                     flush()
                     cur_key = key
-                qmap = term_qmap.get(terms[i])
-                if not qmap:
+                    grp_shift[0] = seg_base.get(segs[i], 0)
+                if not term_qmap.get(terms[i]):
                     continue
-                docs = delta_decode(varint_decode(docsb[i])).astype(
-                    np.int64
-                ) + seg_base.get(segs[i], 0)
-                raw_tfs = varint_decode(tfsb[i])
-                raw_dls = varint_decode(dlsb[i])
-                cast: dict = {}  # dtype -> (tfs, dls): decode once, cast once
-                for qid, sc in qmap:
-                    pair = cast.get(sc.dtype)
-                    if pair is None:
-                        pair = (raw_tfs.astype(sc.dtype), raw_dls.astype(sc.dtype))
-                        cast[sc.dtype] = pair
-                    leg = sc.scores(*pair).astype(np.float64, copy=False)
-                    buf_docs.append(docs)
-                    buf_scores.append(leg)
-                    buf_qids.append(np.full(docs.size, qid, dtype=np.int64))
+                buf_terms.append(terms[i])
+                buf_db.append(docsb[i])
+                buf_tb.append(tfsb[i])
+                buf_lb.append(dlsb[i])
         flush()
         if out_d:
             gq = np.concatenate(out_q)
@@ -1292,6 +1410,16 @@ class SearchEngine:
         ):
             # (max_tf, min_dl) does not dominate a block for scorers that
             # reward longer docs (legacy-Norm BM25) — skip nothing
+            prune = False
+        if prune and len(scorers) > WAND_MAX_LEGS:
+            # wide multiterm expansions (wildcard/prefix, hundreds+ of
+            # legs): the sum-merge bound carries every OTHER leg's
+            # whole-list upper bound, so it sits far above any reachable
+            # threshold and never skips — while computing per-term block
+            # bounds costs real time (measured: a 1,024-leg wildcard ran
+            # ~0.4 s FASTER with wand=False). Pruning is result-neutral,
+            # so cap it by leg count; narrow booleans keep their 5x
+            # kernel-level WAND win. Env-tunable.
             prune = False
         other_ub_default = 0.0
         if len(scorers) == 1 and tail_sel is None:
