@@ -1041,10 +1041,16 @@ class SearchEngine:
         """(terms sorted asc, doc_freqs aligned) — or None when the
         dictionary is too large to hold on the driver."""
         if self._vocab is False:
-            if self.term_stats.count() > self.VOCAB_CACHE_MAX:
+            # ONE job (r7): pull cap+1 sorted rows — the extra row answers
+            # the "too large?" question the old separate count() job asked
+            rows = (
+                self.term_stats.orderBy("term")
+                .limit(self.VOCAB_CACHE_MAX + 1)
+                .collect()
+            )
+            if len(rows) > self.VOCAB_CACHE_MAX:
                 self._vocab = None
             else:
-                rows = self.term_stats.orderBy("term").collect()
                 self._vocab = (
                     [r["term"] for r in rows],
                     [r["doc_freq"] for r in rows],
